@@ -1,0 +1,171 @@
+"""Base-2^16 limb arithmetic on uint32 JAX arrays, limb-major layout.
+
+The TPU-native representation of big integers: an element is a ``uint32`` array of
+shape ``(n_limbs, *batch)`` holding base-2^16 digits, least-significant limb first.
+Putting the limb axis FIRST means the *batch* occupies the trailing (lane) axes of
+the 8x128 VPU, so every field operation is automatically data-parallel over
+arbitrarily large batches without vmap. Products of two 16-bit limbs fit exactly in
+uint32, and accumulation columns carry >10 bits of headroom, so schoolbook
+multiplication needs no intermediate carry propagation.
+
+This replaces the reference's blst C/asm bignum layer (the `blst_fr_*`/`blst_fp_*`
+calls behind src/scalar.rs and src/curves.rs) with pure XLA-compiled vector code.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+MASK16 = np.uint32(0xFFFF)
+
+
+# ---------------------------------------------------------------------------
+# Host <-> device conversion helpers (numpy / python int; not hot-path)
+# ---------------------------------------------------------------------------
+
+
+def int_to_limbs(value: int, n_limbs: int) -> np.ndarray:
+    """Python int -> (n_limbs,) uint32 base-2^16 digits (LSB first)."""
+    if value < 0 or value >= 1 << (16 * n_limbs):
+        raise ValueError(f"value out of range for {n_limbs} limbs")
+    return np.array([(value >> (16 * i)) & 0xFFFF for i in range(n_limbs)], dtype=np.uint32)
+
+
+def ints_to_limbs(values, n_limbs: int) -> np.ndarray:
+    """Iterable of ints -> (n_limbs, len(values)) uint32 array."""
+    return np.stack([int_to_limbs(v, n_limbs) for v in values], axis=-1)
+
+
+def limbs_to_int(limbs) -> int:
+    """(n_limbs,) array -> python int."""
+    limbs = np.asarray(limbs, dtype=np.uint64)
+    return sum(int(d) << (16 * i) for i, d in enumerate(limbs))
+
+
+def limbs_to_ints(limbs) -> list[int]:
+    """(n_limbs, N) array -> list of N python ints."""
+    arr = np.asarray(limbs)
+    flat = arr.reshape(arr.shape[0], -1)
+    return [limbs_to_int(flat[:, j]) for j in range(flat.shape[1])]
+
+
+# ---------------------------------------------------------------------------
+# Shape utilities
+# ---------------------------------------------------------------------------
+
+
+def align(a: jnp.ndarray, b: jnp.ndarray):
+    """Insert batch axes right after the limb axis so both operands share ndim.
+
+    Batch shapes broadcast numpy-style (right-aligned) on the trailing axes.
+    """
+    nd = max(a.ndim, b.ndim)
+    if a.ndim < nd:
+        a = a.reshape(a.shape[:1] + (1,) * (nd - a.ndim) + a.shape[1:])
+    if b.ndim < nd:
+        b = b.reshape(b.shape[:1] + (1,) * (nd - b.ndim) + b.shape[1:])
+    return a, b
+
+
+def bcast_const(c: np.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+    """Lift an (L,) constant to the batch rank of `ref` ((L, 1, ..., 1))."""
+    return jnp.asarray(c).reshape(c.shape[:1] + (1,) * (ref.ndim - 1))
+
+
+# ---------------------------------------------------------------------------
+# Carry machinery (exact, scan-based; the scan is over the tiny limb axis, every
+# step is one fused VPU op over the whole batch)
+# ---------------------------------------------------------------------------
+
+
+def carry_reduce(cols: jnp.ndarray):
+    """Normalize accumulation columns to canonical u16 limbs.
+
+    cols: (K, *batch) uint32, each column < 2^32 - 2^16 (slack for the carry).
+    Returns (limbs, carry_out): limbs (K, *batch) in [0, 2^16), carry_out (*batch,).
+    """
+
+    def step(carry, col):
+        tot = col + carry
+        return tot >> 16, tot & MASK16
+
+    init = jnp.zeros(cols.shape[1:], jnp.uint32)
+    carry, limbs = lax.scan(step, init, cols, unroll=True)
+    return limbs, carry
+
+
+def sub_borrow(a: jnp.ndarray, b: jnp.ndarray):
+    """a - b over u16 limbs with borrow chain.
+
+    Returns (diff, borrow_out) where diff = (a - b) mod 2^(16K) as u16 limbs and
+    borrow_out (*batch,) is 1 where a < b.
+    """
+    a, b = align(a, b)
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    b = jnp.broadcast_to(b, shape)
+
+    def step(borrow, ab):
+        ai, bi = ab
+        bb = bi + borrow
+        new_borrow = (ai < bb).astype(jnp.uint32)
+        d = (ai - bb) & MASK16
+        return new_borrow, d
+
+    init = jnp.zeros(a.shape[1:], jnp.uint32)
+    borrow, diff = lax.scan(step, init, (a, b), unroll=True)
+    return diff, borrow
+
+
+def geq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a >= b elementwise over the batch (both canonical u16 limbs)."""
+    _, borrow = sub_borrow(a, b)
+    return borrow == 0
+
+
+# ---------------------------------------------------------------------------
+# Wide / low multiplication (schoolbook over columns, no inner carries)
+# ---------------------------------------------------------------------------
+
+
+def mul_wide(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Full product of two L-limb numbers -> 2L canonical u16 limbs.
+
+    The per-limb loop is unrolled at trace time (L is small and static); each
+    iteration is a batched multiply + two strided accumulations, all on the VPU.
+    """
+    L = a.shape[0]
+    a, b = align(a, b)
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    cols = jnp.zeros((2 * L,) + batch, jnp.uint32)
+    for i in range(L):
+        p = a[i] * b  # (L, *batch); exact: both operands < 2^16
+        cols = cols.at[i : i + L].add(p & MASK16)
+        cols = cols.at[i + 1 : i + L + 1].add(p >> 16)
+    limbs, carry = carry_reduce(cols)
+    # product < 2^(32L) so the final carry is always zero
+    del carry
+    return limbs
+
+
+def mul_low(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Low L limbs of the product (i.e. a*b mod 2^(16L))."""
+    L = a.shape[0]
+    a, b = align(a, b)
+    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    cols = jnp.zeros((L,) + batch, jnp.uint32)
+    for i in range(L):
+        p = a[i] * b[: L - i]
+        cols = cols.at[i:L].add(p & MASK16)
+        if i + 1 < L:
+            cols = cols.at[i + 1 : L].add((p >> 16)[: L - i - 1])
+    limbs, _ = carry_reduce(cols)  # dropping the carry == mod 2^(16L)
+    return limbs
+
+
+def select(mask: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Branchless limb select; mask has the batch shape (no limb axis)."""
+    a, b = align(a, b)
+    return jnp.where(mask[None], a, b)

@@ -1,0 +1,29 @@
+"""Test configuration: force an 8-device virtual CPU mesh BEFORE any backend init.
+
+Mirrors the multi-chip test strategy from SURVEY.md §4: sharded paths are
+validated on a host-platform device mesh; the real TPU chip is only exercised by
+bench.py / the driver. The harness environment pins JAX_PLATFORMS=axon, so the
+env var alone is not enough — jax.config.update must override it.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/kzg_tpu_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import random
+
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return random.Random(0xB152381)
