@@ -92,7 +92,7 @@ def carry_reduce(cols: jnp.ndarray):
         return tot >> 16, tot & MASK16
 
     init = jnp.zeros(cols.shape[1:], jnp.uint32)
-    carry, limbs = lax.scan(step, init, cols, unroll=True)
+    carry, limbs = lax.scan(step, init, cols)
     return limbs, carry
 
 
@@ -115,7 +115,7 @@ def sub_borrow(a: jnp.ndarray, b: jnp.ndarray):
         return new_borrow, d
 
     init = jnp.zeros(a.shape[1:], jnp.uint32)
-    borrow, diff = lax.scan(step, init, (a, b), unroll=True)
+    borrow, diff = lax.scan(step, init, (a, b))
     return diff, borrow
 
 
@@ -133,34 +133,46 @@ def geq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def mul_wide(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Full product of two L-limb numbers -> 2L canonical u16 limbs.
 
-    The per-limb loop is unrolled at trace time (L is small and static); each
-    iteration is a batched multiply + two strided accumulations, all on the VPU.
+    Scatter-free schoolbook: partial products are placed with zero-padded
+    concatenations (pure data movement XLA fuses freely) instead of
+    dynamic-update-slice accumulation, which bloats traces and stalls the
+    compiler inside large loop bodies. Column accumulators stay < L * 2^17,
+    far under the 2^32 - 2^16 carry_reduce slack.
     """
     L = a.shape[0]
     a, b = align(a, b)
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    cols = jnp.zeros((2 * L,) + batch, jnp.uint32)
+
+    def z(k):
+        return jnp.zeros((k,) + batch, jnp.uint32)
+
+    cols = z(2 * L)
     for i in range(L):
         p = a[i] * b  # (L, *batch); exact: both operands < 2^16
-        cols = cols.at[i : i + L].add(p & MASK16)
-        cols = cols.at[i + 1 : i + L + 1].add(p >> 16)
-    limbs, carry = carry_reduce(cols)
-    # product < 2^(32L) so the final carry is always zero
-    del carry
+        p = jnp.broadcast_to(p, (L,) + batch)
+        lo_row = jnp.concatenate([z(i), p & MASK16, z(L - i)], axis=0)
+        hi_row = jnp.concatenate([z(i + 1), p >> 16, z(L - i - 1)], axis=0)
+        cols = cols + lo_row + hi_row
+    limbs, _carry = carry_reduce(cols)  # product < 2^(32L): carry always zero
     return limbs
 
 
 def mul_low(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Low L limbs of the product (i.e. a*b mod 2^(16L))."""
+    """Low L limbs of the product (i.e. a*b mod 2^(16L)); scatter-free."""
     L = a.shape[0]
     a, b = align(a, b)
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    cols = jnp.zeros((L,) + batch, jnp.uint32)
+
+    def z(k):
+        return jnp.zeros((k,) + batch, jnp.uint32)
+
+    cols = z(L)
     for i in range(L):
         p = a[i] * b[: L - i]
-        cols = cols.at[i:L].add(p & MASK16)
+        p = jnp.broadcast_to(p, (L - i,) + batch)
+        cols = cols + jnp.concatenate([z(i), p & MASK16], axis=0)
         if i + 1 < L:
-            cols = cols.at[i + 1 : L].add((p >> 16)[: L - i - 1])
+            cols = cols + jnp.concatenate([z(i + 1), (p >> 16)[: L - i - 1]], axis=0)
     limbs, _ = carry_reduce(cols)  # dropping the carry == mod 2^(16L)
     return limbs
 

@@ -1,0 +1,255 @@
+"""Polynomial over Fr and KZG evaluation proofs — parity with the reference's
+``Polynomial`` / ``Evaluation`` (src/polynomial.rs), bulk math on TPU.
+
+Coefficients live as ONE device array of Montgomery Fr limbs, shape (16, n)
+ascending degree — not a list of scalars — so evaluation, subtraction,
+synthetic division and the commit MSM are single batched device calls
+(kzg_tpu.ops.poly / kzg_tpu.ops.msm) instead of the reference's per-coefficient
+loops (src/polynomial.rs:112-123,150-195,207-214).
+
+Semantics preserved exactly:
+  - construction truncates trailing zero coefficients; the zero polynomial has
+    an empty coefficient vector and degree() == 0 (src/polynomial.rs:55-100)
+  - coefficient-count cap 2^32 - 1 (src/polynomial.rs:56-61)
+  - divide_by_root rejects constant non-zero polynomials and non-roots via the
+    rebuilt-constant-term check (src/polynomial.rs:159-192)
+  - commit requires degree+1 <= len(setup artifacts) (src/polynomial.rs:201-205)
+  - verify compares e(proof, sG2 - xG2) with e(C - yG1, G2) as full Fp12
+    values (src/polynomial.rs:276-294)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .ops.field import FR
+from .ops import poly as polyops
+from .ops import msm as msmops
+from .ops import curve as cv
+from .scalar import Scalar
+from .curves import G1Point, G2Point
+from .errors import ProtocolError
+
+MAX_COEFFS = 2**32 - 1
+
+
+class Polynomial:
+    __slots__ = ("_coeffs",)
+
+    def __init__(self, coeffs: jnp.ndarray):
+        """coeffs: (16, n) Montgomery Fr limbs, ascending degree, already
+        normalized (no trailing zero coefficient). Internal — use from_*."""
+        self._coeffs = coeffs
+
+    # -- constructors -----------------------------------------------------------
+
+    @classmethod
+    def from_ints(cls, values: list[int]) -> "Polynomial":
+        """From i128-semantics integer coefficients (ascending degree)."""
+        if len(values) > MAX_COEFFS:
+            raise ProtocolError(
+                f"Too many coefficients for polynomial, only 2**32 - 1 coefficients is supported. Got {len(values)}"
+            )
+        from .utils import hostmath as hm
+
+        vals = [v % hm.R for v in values]
+        # Reference normalization (src/polynomial.rs:63-72): truncate AFTER the
+        # last non-zero index, which keeps exactly one zero coefficient for an
+        # all-zero non-empty input (JSON byte parity depends on this).
+        last = 0
+        for i, v in enumerate(vals):
+            if v != 0:
+                last = i
+        vals = vals[: last + 1]
+        return cls(jnp.asarray(FR.many_to_limbs(vals)))
+
+    @classmethod
+    def from_scalars(cls, values: list[Scalar]) -> "Polynomial":
+        if len(values) > MAX_COEFFS:
+            raise ProtocolError(
+                f"Too many coefficients for polynomial, only 2**32 - 1 coefficients is supported. Got {len(values)}"
+            )
+        return cls.from_ints([v.to_int() for v in values])
+
+    @classmethod
+    def from_constant(cls, a: Scalar) -> "Polynomial":
+        """Order-0 polynomial; a zero constant yields the empty polynomial
+        (src/polynomial.rs:78-89)."""
+        if a.is_zero():
+            return cls(FR.zeros(0))
+        return cls.from_ints([a.to_int()])
+
+    @classmethod
+    def _from_mont_array(cls, coeffs: jnp.ndarray) -> "Polynomial":
+        """Reference try_from normalization: truncate after the last non-zero
+        coefficient (an all-zero non-empty array keeps one zero)."""
+        arr = np.asarray(coeffs)
+        if arr.shape[1] == 0:
+            return cls(jnp.asarray(arr))
+        nz = np.nonzero(np.any(arr != 0, axis=0))[0]
+        last = int(nz[-1]) + 1 if nz.size else 1
+        return cls(jnp.asarray(arr[:, :last]))
+
+    # -- views -------------------------------------------------------------------
+
+    @property
+    def num_coefficients(self) -> int:
+        return int(self._coeffs.shape[1])
+
+    def degree(self) -> int:
+        """One less than the coefficient count; 0 for the zero polynomial."""
+        n = self.num_coefficients
+        return n - 1 if n else 0
+
+    def coefficients(self) -> list[Scalar]:
+        return [Scalar._from_mont(self._coeffs[:, i]) for i in range(self.num_coefficients)]
+
+    def coefficient_ints(self) -> list[int]:
+        return FR.from_limbs_many(np.asarray(self._coeffs))
+
+    @property
+    def coeffs_mont(self) -> jnp.ndarray:
+        """(16, n) Montgomery device array — the kernel-facing view."""
+        return self._coeffs
+
+    # -- algebra (device) ----------------------------------------------------------
+
+    def evaluate(self, x: Scalar) -> "Evaluation":
+        """P(x) on device (parallel powers + tree sum)."""
+        n = self.num_coefficients
+        result = polyops.evaluate(self._coeffs, x.mont, n)
+        return Evaluation(point=x, result=Scalar._from_mont(result))
+
+    def sub(self, other: "Polynomial") -> "Polynomial":
+        """Coefficient-wise subtraction (zero-padded), renormalized."""
+        a, b = self._coeffs, other._coeffs
+        na, nb = a.shape[1], b.shape[1]
+        n = max(na, nb)
+        if na < n:
+            a = jnp.concatenate([a, jnp.zeros((FR.L, n - na), jnp.uint32)], axis=1)
+        if nb < n:
+            b = jnp.concatenate([b, jnp.zeros((FR.L, n - nb), jnp.uint32)], axis=1)
+        return Polynomial._from_mont_array(FR.sub(a, b))
+
+    def divide_by_root(self, root: Scalar) -> "Polynomial":
+        """Quotient of exact division by (x - root) — errors if root is not a
+        root (rebuilt-constant-term check, src/polynomial.rs:183-192)."""
+        n = self.num_coefficients
+        if n == 0:
+            return Polynomial(FR.zeros(0))
+        if n == 1:
+            # a lone zero coefficient is the zero polynomial (src/polynomial.rs:159-167)
+            if not np.asarray(self._coeffs[:, 0]).any():
+                return Polynomial(FR.zeros(0))
+            raise ProtocolError("Unable to divide a constant polynomial")
+        quotient, rebuilt = polyops.synthetic_divide(self._coeffs, root.mont, n)
+        if not bool(np.array_equal(np.asarray(rebuilt), np.asarray(self._coeffs[:, 0]))):
+            raise ProtocolError(
+                "[divide_by_root] Fail to divide the polynomial by a root, constant terms do not add up"
+            )
+        return Polynomial._from_mont_array(quotient)
+
+    def commit(self, setup_artifacts) -> G1Point:
+        """Commitment MSM on device: C = sum_i a_i * (s^i G1)
+        (reference hot loop src/polynomial.rs:207-214)."""
+        n = self.num_coefficients
+        if self.degree() + 1 > len(setup_artifacts):
+            raise ProtocolError(
+                "Setup does not allow for commitment generation of the polynomial. The polynomial degree is too high."
+            )
+        if n == 0:
+            return G1Point.from_i128(0)
+        xs, ys, infs = [], [], []
+        for art in setup_artifacts[:n]:
+            p = art.g1.affine()
+            if p is None:
+                xs.append(0); ys.append(0); infs.append(True)
+            else:
+                xs.append(p[0]); ys.append(p[1]); infs.append(False)
+        px = jnp.asarray(cv.FP.many_to_limbs(xs))
+        py = jnp.asarray(cv.FP.many_to_limbs(ys))
+        scalars = FR.from_mont(self._coeffs)
+        if any(infs):
+            jac = msmops.msm_batched_affine(
+                cv.G1, (px, py), scalars, inf_mask=jnp.asarray(infs)
+            )
+        else:
+            jac = msmops.msm_g1((px, py), scalars)
+        return G1Point(jac)
+
+    # -- display --------------------------------------------------------------------
+
+    def __str__(self) -> str:
+        """"a_n x^n + ... + a_0" skipping zero terms (src/polynomial.rs:218-247)."""
+        ints = self.coefficient_ints()
+        if not ints:
+            return "0"
+
+        def term(c: int, deg: int) -> str:
+            suffix = "" if deg == 0 else ("x" if deg == 1 else f"x^{deg}")
+            return f"{c}{suffix}"
+
+        n = len(ints)
+        parts = [term(ints[n - 1], n - 1)]
+        for i in range(n - 2, -1, -1):
+            if ints[i] == 0:
+                continue
+            parts.append(term(ints[i], i))
+        return " + ".join(parts)
+
+    def __repr__(self) -> str:
+        return f"Polynomial({self.coefficient_ints()})"
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, Polynomial) and self.coefficient_ints() == other.coefficient_ints()
+
+    # -- serde -------------------------------------------------------------------------
+
+    def to_json(self) -> dict:
+        return {"coefficients": [list(v.to_bytes(32, "little")) for v in self.coefficient_ints()]}
+
+    @classmethod
+    def from_json(cls, data: dict) -> "Polynomial":
+        coeffs = [Scalar.from_json(c) for c in data["coefficients"]]
+        return cls.from_scalars(coeffs)
+
+
+class Evaluation:
+    """{point, result} evaluation record (src/polynomial.rs:249-295)."""
+
+    __slots__ = ("point", "result")
+
+    def __init__(self, point: Scalar, result: Scalar):
+        self.point = point
+        self.result = result
+
+    def generate_proof(self, polynomial: Polynomial, setup_artifacts) -> G1Point:
+        """pi = commit((P - y) / (x - point)) (src/polynomial.rs:260-269)."""
+        return (
+            polynomial.sub(Polynomial.from_constant(self.result))
+            .divide_by_root(self.point)
+            .commit(setup_artifacts)
+        )
+
+    def verify_proof(self, proof: G1Point, commitment: G1Point, setup_artifacts) -> bool:
+        """e(proof, s G2 - x G2) == e(C - y G1, G2), both pairings in one
+        batched device call (src/polynomial.rs:276-294)."""
+        from .ops import pairing as devpair
+
+        if len(setup_artifacts) < 2:
+            raise ProtocolError("At least 2 setup artifacts are required for verification")
+        s_g2 = setup_artifacts[1].g2
+        lhs_g2 = s_g2.sub(G2Point.from_scalar(self.point))
+        rhs_g1 = commitment.sub(G1Point.from_scalar(self.result))
+        return devpair.pairing_pair_equal(proof, lhs_g2, rhs_g1, G2Point.from_i128(1))
+
+    def to_json(self) -> dict:
+        return {"point": self.point.to_json(), "result": self.result.to_json()}
+
+    @classmethod
+    def from_json(cls, data: dict) -> "Evaluation":
+        return cls(point=Scalar.from_json(data["point"]), result=Scalar.from_json(data["result"]))
+
+    def __repr__(self):
+        return f"Evaluation(point={self.point}, result={self.result})"

@@ -1,0 +1,112 @@
+"""Trusted-setup (powers-of-tau) ceremony — parity with the reference's
+``SetupArtifactsGenerator`` (src/trusted_setup.rs), computed in device batches.
+
+The reference emits artifacts one at a time: s^k tracked by a running product,
+each point a fresh 256-bit blst mult (src/trusted_setup.rs:40-78). Here the
+power ladder s^0..s^(n-1) is ONE parallel-prefix scan and the G1/G2 points are
+batched fixed-base ladders over the whole chunk — the iterator facade yields
+identical items in the same order (k = 0 yields the plain generators,
+src/trusted_setup.rs:41-48).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+
+from .ops.field import FR
+from .ops import poly as polyops
+from .ops import curve as cv
+from .scalar import Scalar
+from .curves import G1Point, G2Point
+
+
+@dataclass
+class SetupArtifact:
+    """{g1: s^k G1, g2: s^k G2} (src/trusted_setup.rs:31-35)."""
+
+    g1: G1Point
+    g2: G2Point
+
+    def to_json(self) -> dict:
+        return {"g1": self.g1.to_json(), "g2": self.g2.to_json()}
+
+    @classmethod
+    def from_json(cls, data: dict) -> "SetupArtifact":
+        return cls(g1=G1Point.from_json(data["g1"]), g2=G2Point.from_json(data["g2"]))
+
+
+def generate_setup(secret: Scalar, count: int, chunk: int = 1024) -> list[SetupArtifact]:
+    """[{s^k G1, s^k G2} for k in 0..count-1] as batched device computation.
+
+    Chunked so arbitrarily large ceremonies stream through fixed-size device
+    ladders (one G1 + one G2 fixed-base batched mult per chunk).
+    """
+    if count <= 0:
+        return []
+    out: list[SetupArtifact] = [
+        SetupArtifact(g1=G1Point.from_i128(1), g2=G2Point.from_i128(1))
+    ]
+    if count == 1:
+        return out
+
+    # s^1 .. s^(count-1) via parallel prefix, then chunked fixed-base MSM ladders.
+    pw = polyops.power_sequence(secret.mont, count)  # (16, count), Montgomery
+    std = FR.from_mont(pw)  # standard-form exponent limbs
+    for lo in range(1, count, chunk):
+        hi = min(lo + chunk, count)
+        ks = std[:, lo:hi]
+        g1 = cv.G1.mul_scalar_affine(cv.G1_GEN_DEV, ks)
+        g2 = cv.G2.mul_scalar_affine(cv.G2_GEN_DEV, ks)
+        g1_aff = cv.g1_from_device(g1)
+        g2_aff = cv.g2_from_device(g2)
+        for p1, p2 in zip(g1_aff, g2_aff):
+            out.append(SetupArtifact(g1=G1Point.from_affine(p1), g2=G2Point.from_affine(p2)))
+    return out
+
+
+class SetupArtifactsGenerator:
+    """Infinite iterator facade matching the reference semantics
+    (first item = generators, then s^k pairs), batching device work in chunks.
+
+    * `secret` - 32 big-endian bytes (src/trusted_setup.rs:16-28)
+    """
+
+    def __init__(self, secret: bytes, chunk: int = 16):
+        self.secret = Scalar.from_be_bytes(secret)
+        self._chunk = max(2, chunk)
+        self._buf: list[SetupArtifact] = []
+        self._next_k = 0
+        self._power = Scalar.from_int(1)  # s^(k0 - 1) when the next chunk starts at k0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> SetupArtifact:
+        if not self._buf:
+            self._fill()
+        return self._buf.pop(0)
+
+    def _fill(self):
+        k0 = self._next_k
+        if k0 == 0:
+            self._buf.append(SetupArtifact(g1=G1Point.from_i128(1), g2=G2Point.from_i128(1)))
+            self._next_k = 1
+            self._power = self.secret  # s^1, the first power of the next chunk
+            return
+        n = self._chunk
+        # powers s^k0 .. s^(k0+n-1) = s^k0 * [s^0 .. s^(n-1)]
+        pw = polyops.power_sequence(self.secret.mont, n)
+        pw = FR.mul(pw, self._power.mont[:, None])
+        std = FR.from_mont(pw)
+        g1 = cv.G1.mul_scalar_affine(cv.G1_GEN_DEV, std)
+        g2 = cv.G2.mul_scalar_affine(cv.G2_GEN_DEV, std)
+        for p1, p2 in zip(cv.g1_from_device(g1), cv.g2_from_device(g2)):
+            self._buf.append(SetupArtifact(g1=G1Point.from_affine(p1), g2=G2Point.from_affine(p2)))
+        self._power = Scalar._from_mont(FR.mul(pw[:, -1], self.secret.mont))
+        self._next_k = k0 + n
+
+    def take(self, n: int) -> list[SetupArtifact]:
+        return [next(self) for _ in range(n)]

@@ -1,0 +1,67 @@
+"""CLI workflow tests — the reference's 4-command artifact pipeline
+(src/main.rs:108-308) end to end in a temp dir."""
+
+import json
+import os
+
+import pytest
+
+from kzg_tpu import cli
+from kzg_tpu import artifacts as art
+
+
+@pytest.fixture
+def workdir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+@pytest.mark.slow
+def test_full_workflow(workdir, capsys):
+    assert cli.main(["trusted-setup"]) == 0
+    setup_raw = json.loads(open(art.SETUP_ARTIFACTS_PATH).read())
+    assert len(setup_raw) == 10  # MAX_DEGREE + 1 (src/main.rs:106,125-128)
+
+    assert cli.main(["commit", "--coefficients", "2", "1", "3"]) == 0
+    craw = json.loads(open(art.COMMITMENT_ARTIFACTS_PATH).read())
+    assert [bytes(c)[0] for c in craw["polynomial"]["coefficients"]] == [2, 1, 3]
+
+    assert cli.main(["evaluate", "7"]) == 0
+    eraw = json.loads(open(art.EVALUATION_ARTIFACTS_PATH).read())
+    # P(7) = 2 + 7 + 3*49 = 156
+    assert int.from_bytes(bytes(eraw["evaluation"]["result"]), "little") == 156
+    assert int.from_bytes(bytes(eraw["evaluation"]["point"]), "little") == 7
+
+    assert cli.main(["verify-evaluation"]) == 0
+
+    # tampering with the claimed result must fail verification
+    eraw["evaluation"]["result"] = list((157).to_bytes(32, "little"))
+    open(art.EVALUATION_ARTIFACTS_PATH, "w").write(json.dumps(eraw, separators=(",", ":")))
+    assert cli.main(["verify-evaluation"]) == 1
+    assert "The proof associated to the evaluation is incorrect." in capsys.readouterr().err
+
+
+def test_missing_artifact_errors(workdir, capsys):
+    assert cli.main(["commit", "--coefficients", "1"]) == 1
+    assert "Trusted setup artifacts have not been found" in capsys.readouterr().err
+    assert cli.main(["evaluate", "3"]) == 1
+    assert cli.main(["verify-evaluation"]) == 1
+
+
+def test_degree_gate(workdir, capsys):
+    coeffs = [str(i + 1) for i in range(11)]  # degree 10 > 9
+    assert cli.main(["commit", "--coefficients", *coeffs]) == 1
+    assert "Only polynomials up to degree 9 are supported" in capsys.readouterr().err
+
+
+@pytest.mark.slow
+def test_negative_coefficients_workflow(workdir):
+    """i128 negatives map to r - |v| through the whole pipeline."""
+    assert cli.main(["trusted-setup"]) == 0
+    assert cli.main(["commit", "--coefficients", "-2", "5", "-1"]) == 0
+    assert cli.main(["evaluate", "-3"]) == 0
+    assert cli.main(["verify-evaluation"]) == 0
+
+
+def test_no_command_warns(capsys):
+    assert cli.main([]) == 0
