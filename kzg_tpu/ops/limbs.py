@@ -130,49 +130,60 @@ def geq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def mul_wide(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Full product of two L-limb numbers -> 2L canonical u16 limbs.
+_DIAG_IDX_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
 
-    Scatter-free schoolbook: partial products are placed with zero-padded
-    concatenations (pure data movement XLA fuses freely) instead of
-    dynamic-update-slice accumulation, which bloats traces and stalls the
-    compiler inside large loop bodies. Column accumulators stay < L * 2^17,
-    far under the 2^32 - 2^16 carry_reduce slack.
+
+def _diag_indices(L: int, width: int):
+    """Constant gather indices realigning row i of an (L, width)-padded
+    partial-product matrix so that columns become output digit positions:
+    out[i, k] = in[i, (k - i) mod width] (lo) / (k - i - 1) mod width (hi).
+    Out-of-band positions land in the zero padding."""
+    key = (L, width)
+    if key not in _DIAG_IDX_CACHE:
+        k = np.arange(width)[None, :]
+        i = np.arange(L)[:, None]
+        lo = ((k - i) % width).astype(np.int32)
+        hi = ((k - i - 1) % width).astype(np.int32)
+        _DIAG_IDX_CACHE[key] = (lo, hi)
+    return _DIAG_IDX_CACHE[key]
+
+
+def _mul_cols(a: jnp.ndarray, b: jnp.ndarray, out_len: int) -> jnp.ndarray:
+    """Schoolbook column sums of a*b, truncated to out_len digits.
+
+    ONE outer product + ONE constant-index gather per half — tiny traces that
+    XLA compiles quickly (scatter chains and concat chains both stall the
+    algebraic simplifier inside large kernels). Column accumulators stay
+    < L * 2^17, far under the 2^32 - 2^16 carry_reduce slack.
     """
     L = a.shape[0]
     a, b = align(a, b)
     batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    p = a[:, None] * b[None, :]  # (L, L, *batch); exact: operands < 2^16
+    pad = [(0, 0), (0, L)] + [(0, 0)] * len(batch)
+    lo = jnp.pad(p & MASK16, pad)  # (L, 2L, *batch); zeros in [L, 2L)
+    hi = jnp.pad(p >> 16, pad)
+    ilo, ihi = _diag_indices(L, 2 * L)
+    ilo = jnp.asarray(ilo[:, :out_len]).reshape((L, out_len) + (1,) * len(batch))
+    ihi = jnp.asarray(ihi[:, :out_len]).reshape((L, out_len) + (1,) * len(batch))
+    shape = (L, out_len) + batch
+    cols = jnp.take_along_axis(lo, jnp.broadcast_to(ilo, shape), axis=1).sum(axis=0)
+    cols = cols + jnp.take_along_axis(hi, jnp.broadcast_to(ihi, shape), axis=1).sum(axis=0)
+    return cols
 
-    def z(k):
-        return jnp.zeros((k,) + batch, jnp.uint32)
 
-    cols = z(2 * L)
-    for i in range(L):
-        p = a[i] * b  # (L, *batch); exact: both operands < 2^16
-        p = jnp.broadcast_to(p, (L,) + batch)
-        lo_row = jnp.concatenate([z(i), p & MASK16, z(L - i)], axis=0)
-        hi_row = jnp.concatenate([z(i + 1), p >> 16, z(L - i - 1)], axis=0)
-        cols = cols + lo_row + hi_row
+def mul_wide(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Full product of two L-limb numbers -> 2L canonical u16 limbs."""
+    L = a.shape[0]
+    cols = _mul_cols(a, b, 2 * L)
     limbs, _carry = carry_reduce(cols)  # product < 2^(32L): carry always zero
     return limbs
 
 
 def mul_low(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Low L limbs of the product (i.e. a*b mod 2^(16L)); scatter-free."""
+    """Low L limbs of the product (i.e. a*b mod 2^(16L))."""
     L = a.shape[0]
-    a, b = align(a, b)
-    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-
-    def z(k):
-        return jnp.zeros((k,) + batch, jnp.uint32)
-
-    cols = z(L)
-    for i in range(L):
-        p = a[i] * b[: L - i]
-        p = jnp.broadcast_to(p, (L - i,) + batch)
-        cols = cols + jnp.concatenate([z(i), p & MASK16], axis=0)
-        if i + 1 < L:
-            cols = cols + jnp.concatenate([z(i + 1), (p >> 16)[: L - i - 1]], axis=0)
+    cols = _mul_cols(a, b, L)
     limbs, _ = carry_reduce(cols)  # dropping the carry == mod 2^(16L)
     return limbs
 

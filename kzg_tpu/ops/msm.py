@@ -28,24 +28,37 @@ from .curve import G1, G2, JacobianCurve
 
 
 def tree_reduce(curve: JacobianCurve, pts, axis: int = -1):
-    """Sum a batch of Jacobian points along `axis` with log2(N) batched adds."""
-    cd = curve._cdim()
+    """Sum a batch of Jacobian points along `axis` in log2(N) levels.
+
+    ONE fori_loop whose body is a single batched add with a dynamic stride
+    (trace size is independent of N — an unrolled log-N chain of adds takes
+    minutes of XLA compile for large N). Level r adds lane i + 2^r into lane i
+    for lanes i ≡ 0 (mod 2^(r+1)); the sum lands in lane 0.
+    """
     Z = pts[2]
     ax = axis % Z.ndim
     n = Z.shape[ax]
-    while n > 1:
-        half = n // 2
-        lo = tuple(lax.slice_in_dim(c, 0, half, axis=ax) for c in pts)
-        hi = tuple(lax.slice_in_dim(c, half, 2 * half, axis=ax) for c in pts)
-        s = curve.add(lo, hi)
-        if n % 2:
-            tail = tuple(lax.slice_in_dim(c, 2 * half, n, axis=ax) for c in pts)
-            pts = tuple(jnp.concatenate([a, b], axis=ax) for a, b in zip(s, tail))
-            n = half + 1
-        else:
-            pts = s
-            n = half
-    return tuple(jnp.squeeze(c, axis=ax) for c in pts)
+    if n == 1:
+        return tuple(jnp.squeeze(c, axis=ax) for c in pts)
+    # pad to a power of two with infinity lanes (Z = 0)
+    n2 = 1 << (n - 1).bit_length()
+    if n2 != n:
+        pad = [(0, 0)] * Z.ndim
+        pad[ax] = (0, n2 - n)
+        pts = tuple(jnp.pad(c, pad) for c in pts)
+    levels = n2.bit_length() - 1
+    # lane index along the reduce axis, shaped for batch-mask broadcast
+    iota = lax.broadcasted_iota(jnp.uint32, pts[2].shape[curve._cdim():], ax - curve._cdim())
+
+    def body(r, acc):
+        shift = jnp.uint32(1) << r.astype(jnp.uint32)
+        partner = tuple(jnp.roll(c, -shift.astype(jnp.int32), axis=ax) for c in acc)
+        summed = curve.add(acc, partner)
+        mask = (iota & (2 * shift - 1)) == 0
+        return curve.select(mask, summed, acc)
+
+    out = lax.fori_loop(0, levels, body, pts)
+    return tuple(lax.index_in_dim(c, 0, axis=ax, keepdims=False) for c in out)
 
 
 def msm_batched(curve: JacobianCurve, pts_jac, scalars: jnp.ndarray):

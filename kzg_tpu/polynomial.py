@@ -62,6 +62,8 @@ class Polynomial:
             if v != 0:
                 last = i
         vals = vals[: last + 1]
+        if not vals:
+            return cls(FR.zeros(0))
         return cls(jnp.asarray(FR.many_to_limbs(vals)))
 
     @classmethod
