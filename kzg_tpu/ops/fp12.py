@@ -24,22 +24,21 @@ def sub(a, b):
 
 
 def mul(a, b):
-    """Karatsuba over Fp6: 3 Fp6 products (18 Fp2 products)."""
+    """Karatsuba over Fp6: 3 Fp6 products, ONE stacked Fp multiply."""
     a0, a1 = a
     b0, b1 = b
-    t0 = fp6.mul(a0, b0)
-    t1 = fp6.mul(a1, b1)
-    tm = fp6.mul(fp6.add(a0, a1), fp6.add(b0, b1))
+    t0, t1, tm = fp6.mul_many(
+        [(a0, b0), (a1, b1), (fp6.add(a0, a1), fp6.add(b0, b1))]
+    )
     c0 = fp6.add(t0, fp6.mul_by_v(t1))
     c1 = fp6.sub(tm, fp6.add(t0, t1))
     return (c0, c1)
 
 
 def square(a):
-    """Complex squaring over Fp6: c0 = (a0+a1)(a0 + v a1) - t - v t, c1 = 2t."""
+    """Complex squaring over Fp6: 2 Fp6 products, ONE stacked Fp multiply."""
     a0, a1 = a
-    t = fp6.mul(a0, a1)
-    s = fp6.mul(fp6.add(a0, a1), fp6.add(a0, fp6.mul_by_v(a1)))
+    t, s = fp6.mul_many([(a0, a1), (fp6.add(a0, a1), fp6.add(a0, fp6.mul_by_v(a1)))])
     c0 = fp6.sub(fp6.sub(s, t), fp6.mul_by_v(t))
     c1 = fp6.dbl(t)
     return (c0, c1)

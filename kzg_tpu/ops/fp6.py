@@ -35,19 +35,41 @@ def dbl(a):
     return tuple(fp2.dbl(x) for x in a)
 
 
-def mul(a, b):
-    """6 Fp2 products, one stacked Fp2 multiply (batch axis after component)."""
+def _mul_operands(a):
+    """Stack the 6 Toom operand slots [a0, a1, a2, a1+a2, a0+a1, a0+a2] with a
+    SINGLE batched Fp2 add (keeps traces small: adds dominate tower op counts)."""
     a0, a1, a2 = a
-    b0, b1, b2 = b
-    lhs = jnp.stack([a0, a1, a2, fp2.add(a1, a2), fp2.add(a0, a1), fp2.add(a0, a2)], axis=2)
-    rhs = jnp.stack([b0, b1, b2, fp2.add(b1, b2), fp2.add(b0, b1), fp2.add(b0, b2)], axis=2)
-    p = fp2.mul(lhs, rhs)
+    base = jnp.stack([a0, a1, a2], axis=2)
+    sums = fp2.add(jnp.stack([a1, a0, a0], axis=2), jnp.stack([a2, a1, a2], axis=2))
+    return jnp.concatenate([base, sums], axis=2)
+
+
+def _mul_combine(p):
+    """Recombine the 6 products (stacked on axis 2) into (c0, c1, c2)."""
     t0, t1, t2 = p[:, :, 0], p[:, :, 1], p[:, :, 2]
     m12, m01, m02 = p[:, :, 3], p[:, :, 4], p[:, :, 5]
     c0 = fp2.add(t0, fp2.mul_by_xi(fp2.sub(m12, fp2.add(t1, t2))))
     c1 = fp2.add(fp2.sub(m01, fp2.add(t0, t1)), fp2.mul_by_xi(t2))
     c2 = fp2.add(fp2.sub(m02, fp2.add(t0, t2)), t1)
     return (c0, c1, c2)
+
+
+def mul(a, b):
+    """6 Fp2 products, one stacked Fp2 multiply (batch axis after component)."""
+    p = fp2.mul(_mul_operands(a), _mul_operands(b))
+    return _mul_combine(p)
+
+
+def mul_many(pairs):
+    """K independent Fp6 products in ONE stacked Fp2 multiply (6K products).
+
+    pairs: list of (a, b) Fp6 tuples -> list of Fp6 results. Collapsing the
+    whole Fp12 multiply into a single wide Fp kernel keeps XLA traces compact
+    and the VPU lanes full."""
+    lhs = jnp.concatenate([_mul_operands(a) for a, _ in pairs], axis=2)
+    rhs = jnp.concatenate([_mul_operands(b) for _, b in pairs], axis=2)
+    p = fp2.mul(lhs, rhs)
+    return [_mul_combine(p[:, :, 6 * i : 6 * i + 6]) for i in range(len(pairs))]
 
 
 def square(a):

@@ -130,46 +130,36 @@ def geq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-_DIAG_IDX_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+def _skew_rows(m: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Shift row i of m right by i positions into an (L, width) frame.
 
-
-def _diag_indices(L: int, width: int):
-    """Constant gather indices realigning row i of an (L, width)-padded
-    partial-product matrix so that columns become output digit positions:
-    out[i, k] = in[i, (k - i) mod width] (lo) / (k - i - 1) mod width (hi).
-    Out-of-band positions land in the zero padding."""
-    key = (L, width)
-    if key not in _DIAG_IDX_CACHE:
-        k = np.arange(width)[None, :]
-        i = np.arange(L)[:, None]
-        lo = ((k - i) % width).astype(np.int32)
-        hi = ((k - i - 1) % width).astype(np.int32)
-        _DIAG_IDX_CACHE[key] = (lo, hi)
-    return _DIAG_IDX_CACHE[key]
+    Pure pad/reshape/slice (zero compile cost, fusion-friendly): padding each
+    row of an (L, W) matrix to W' = width + 1 and re-reading the flat buffer
+    with row stride `width` lands element (i, j) at (i, i + j).
+    Requires width >= W + L - 1.
+    """
+    L, W = m.shape[0], m.shape[1]
+    batch = m.shape[2:]
+    pad = [(0, 0), (0, width + 1 - W)] + [(0, 0)] * len(batch)
+    flat = jnp.pad(m, pad).reshape((L * (width + 1),) + batch)
+    return flat[: L * width].reshape((L, width) + batch)
 
 
 def _mul_cols(a: jnp.ndarray, b: jnp.ndarray, out_len: int) -> jnp.ndarray:
     """Schoolbook column sums of a*b, truncated to out_len digits.
 
-    ONE outer product + ONE constant-index gather per half — tiny traces that
-    XLA compiles quickly (scatter chains and concat chains both stall the
-    algebraic simplifier inside large kernels). Column accumulators stay
-    < L * 2^17, far under the 2^32 - 2^16 carry_reduce slack.
+    ONE outer product + two reshape-skews + one reduction — a tiny trace that
+    XLA compiles quickly (scatter chains, concat chains and gather indexing
+    all stall the algebraic simplifier inside large kernels). Column
+    accumulators stay < L * 2^17, far under the 2^32 - 2^16 carry_reduce slack.
     """
     L = a.shape[0]
     a, b = align(a, b)
-    batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
     p = a[:, None] * b[None, :]  # (L, L, *batch); exact: operands < 2^16
-    pad = [(0, 0), (0, L)] + [(0, 0)] * len(batch)
-    lo = jnp.pad(p & MASK16, pad)  # (L, 2L, *batch); zeros in [L, 2L)
-    hi = jnp.pad(p >> 16, pad)
-    ilo, ihi = _diag_indices(L, 2 * L)
-    ilo = jnp.asarray(ilo[:, :out_len]).reshape((L, out_len) + (1,) * len(batch))
-    ihi = jnp.asarray(ihi[:, :out_len]).reshape((L, out_len) + (1,) * len(batch))
-    shape = (L, out_len) + batch
-    cols = jnp.take_along_axis(lo, jnp.broadcast_to(ilo, shape), axis=1).sum(axis=0)
-    cols = cols + jnp.take_along_axis(hi, jnp.broadcast_to(ihi, shape), axis=1).sum(axis=0)
-    return cols
+    lo = _skew_rows(p & MASK16, 2 * L)  # lo[i, i+j] = (a_i b_j) & 0xffff
+    hi = _skew_rows(p >> 16, 2 * L)
+    cols = lo.sum(axis=0) + jnp.pad(hi, [(0, 0), (1, 0)] + [(0, 0)] * (hi.ndim - 2))[:, :-1].sum(axis=0)
+    return cols[:out_len]
 
 
 def mul_wide(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

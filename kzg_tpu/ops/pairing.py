@@ -12,9 +12,12 @@ i.e. fp12 ((a,0,0), (0,b,c)). The loop runs under lax.fori_loop with the
 BLS parameter bits as a constant table (6 set bits -> lax.cond skips the
 addition step at runtime on the zero bits).
 
-Final exponentiation: easy part via conj/inv/frobenius; hard part currently a
-constant-exponent (p^4-p^2+1)/r power ladder (correct; cyclotomic-squaring
-addition chain is a later optimization).
+Final exponentiation: easy part via conj/inv/frobenius; hard part is the
+Hayashida-Hayasaka-Teruya chain computing f^(3*(p^4-p^2+1)/r) — i.e. this
+module's reduced pairing is e(P,Q)^3 relative to the canonical reduced ate
+pairing. gcd(3, r) = 1 makes cubing a GT bijection, so all pairing-equality
+checks (the only consumer — pairing values never serialize) are unaffected.
+Tests compare against oracle_pairing(P,Q)^3.
 
 Infinity semantics match blst: e(O, Q) = e(P, O) = 1.
 """
@@ -33,7 +36,6 @@ from .field import FP
 from ..utils import hostmath as hm
 
 _X_BITS = np.array([(hm.BLS_X >> i) & 1 for i in range(hm.BLS_X.bit_length())], np.uint32)
-_HARD_EXP = (hm.P**4 - hm.P**2 + 1) // hm.R
 
 
 def _line_to_fp12(a, b, c):
@@ -140,13 +142,44 @@ def miller_loop(p_affine, q_affine):
     return f
 
 
+def _exp_by_z(f):
+    """f^z for the BLS parameter z = -|x| on a cyclotomic element: square-and-
+    multiply over the 6 set bits of |x|, then conjugate (cyclotomic inverse)."""
+    nbits = hm.BLS_X.bit_length()
+
+    def body(j, acc):
+        acc = fp12.square(acc)
+        bit = jnp.asarray(_X_BITS)[nbits - 2 - j]
+        return lax.cond(bit == 1, lambda a: fp12.mul(a, f), lambda a: a, acc)
+
+    out = lax.fori_loop(0, nbits - 1, body, f)
+    return fp12.conj(out)  # z < 0
+
+
 def final_exponentiation(f):
-    """f^((p^12-1)/r): easy part (p^6-1)(p^2+1), then hard part (p^4-p^2+1)/r."""
+    """Reduced pairing power: easy part (p^6-1)(p^2+1), then the hard part as
+    f^(3*(p^4-p^2+1)/r) via the verified chain
+
+        3d = (z-1)^2 * (z+p) * (z^2+p^2-1) + 3
+
+    (Hayashida-Hayasaka-Teruya decomposition). The harmless cofactor 3 is the
+    standard trick: gcd(3, r) = 1, so cubing GT is a bijection and every
+    pairing-equality check is unaffected as long as both sides use the same
+    convention (they do: this is the only pairing in the framework, and
+    pairing values never serialize into artifacts).
+    """
     fc = fp12.conj(f)
     fi = fp12.inv(f)
     f = fp12.mul(fc, fi)  # f^(p^6 - 1)
-    f = fp12.mul(fp12.frobenius(f, 2), f)  # ^(p^2 + 1)
-    return fp12.pow_const(f, _HARD_EXP)
+    f = fp12.mul(fp12.frobenius(f, 2), f)  # ^(p^2 + 1); now cyclotomic
+
+    g1 = fp12.mul(_exp_by_z(f), fp12.conj(f))  # f^(z-1)
+    g2 = fp12.mul(_exp_by_z(g1), fp12.conj(g1))  # f^((z-1)^2)
+    g3 = fp12.mul(_exp_by_z(g2), fp12.frobenius(g2, 1))  # ^(z+p)
+    g4 = fp12.mul(
+        fp12.mul(_exp_by_z(_exp_by_z(g3)), fp12.frobenius(g3, 2)), fp12.conj(g3)
+    )  # ^(z^2+p^2-1)
+    return fp12.mul(g4, fp12.mul(fp12.square(f), f))  # * f^3
 
 
 @jax.jit

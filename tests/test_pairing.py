@@ -20,7 +20,8 @@ def test_device_pairing_matches_oracle(rng):
     yQ = jnp.asarray(fp2.from_ints(Q[1]))
     inf = jnp.zeros((), bool)
     out = dp.pairing((xP, yP), inf, (xQ, yQ), inf)
-    assert fp12.to_ints(out) == hm.pairing(P, Q)
+    # device pairing = canonical oracle pairing cubed (HHT 3d hard part)
+    assert fp12.to_ints(out) == hm.fp12_pow(hm.pairing(P, Q), 3)
     # infinity inputs give 1 (blst semantics)
     out_inf = dp.pairing((xP, yP), jnp.ones((), bool), (xQ, yQ), inf)
     assert fp12.to_ints(out_inf) == hm.FP12_ONE
@@ -32,7 +33,7 @@ def test_bilinear_map_api(rng):
     lhs = bilinear_map(G1Point.from_i128(a), G2Point.from_i128(b))
     rhs = bilinear_map(G1Point.from_i128(a * b), G2Point.from_i128(1))
     assert lhs == rhs
-    assert lhs == hm.pairing(hm.g1_mul(hm.G1_GEN, a), hm.g2_mul(hm.G2_GEN, b))
+    assert lhs == hm.fp12_pow(hm.pairing(hm.g1_mul(hm.G1_GEN, a), hm.g2_mul(hm.G2_GEN, b)), 3)
 
 
 @pytest.fixture(scope="module")

@@ -1,0 +1,84 @@
+"""Sharded kernels on the virtual 8-device CPU mesh must equal single-device
+results (SURVEY.md §4 multi-chip test strategy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kzg_tpu.ops import curve as cv, msm as msmops, poly as polyops
+from kzg_tpu.ops.field import FR
+from kzg_tpu.parallel import (
+    make_mesh,
+    sharded_commit_and_prove,
+    sharded_evaluate,
+    sharded_msm_g1,
+    sharded_setup_g1,
+)
+from kzg_tpu.utils import hostmath as hm
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def srs():
+    s = 424242
+    n = 24
+    pw = FR.from_mont(polyops.power_sequence(jnp.asarray(FR.to_limbs(s)), n))
+    jac = cv.G1.mul_scalar_affine(cv.G1_GEN_DEV, pw)
+    (x, y), _ = cv.G1.to_affine(jac)
+    return s, n, x, y
+
+
+def test_sharded_msm_equals_single(mesh, srs, rng):
+    s, n, x, y = srs
+    scalars = [rng.randrange(hm.R) for _ in range(n)]
+    k = cv.fr_to_device(scalars, batch=True)
+    sharded = sharded_msm_g1(mesh, (x, y), k)
+    single = msmops.msm_batched_affine(cv.G1, (x, y), k)
+    assert cv.g1_from_device(sharded) == cv.g1_from_device(single)
+
+
+def test_sharded_msm_unaligned_batch(mesh, srs, rng):
+    s, n, x, y = srs
+    m = 13  # not a multiple of 8 — exercises zero-scalar padding
+    scalars = [rng.randrange(hm.R) for _ in range(m)]
+    k = cv.fr_to_device(scalars, batch=True)
+    sharded = sharded_msm_g1(mesh, (x[:, :m], y[:, :m]), k)
+    single = msmops.msm_batched_affine(cv.G1, (x[:, :m], y[:, :m]), k)
+    assert cv.g1_from_device(sharded) == cv.g1_from_device(single)
+
+
+def test_sharded_evaluate(mesh, rng):
+    n = 40
+    coeffs = [rng.randrange(hm.R) for _ in range(n)]
+    x = rng.randrange(hm.R)
+    got = sharded_evaluate(mesh, jnp.asarray(FR.many_to_limbs(coeffs)), jnp.asarray(FR.to_limbs(x)))
+    exp = sum(c * pow(x, i, hm.R) for i, c in enumerate(coeffs)) % hm.R
+    assert FR.from_limbs(np.asarray(got)) == exp
+
+
+def test_sharded_setup(mesh):
+    s = 987654321
+    jac = sharded_setup_g1(mesh, jnp.asarray(FR.to_limbs(s)), 16)
+    pts = cv.g1_from_device(jac)
+    assert pts == [hm.g1_mul(hm.G1_GEN, pow(s, k, hm.R)) for k in range(16)]
+
+
+def test_sharded_commit_and_prove(mesh, srs, rng):
+    s, n, x, y = srs
+    coeffs = [rng.randrange(hm.R) for _ in range(n)]
+    xv = rng.randrange(1, 2**31)
+    commit, proof, yv = sharded_commit_and_prove(
+        mesh, x, y, jnp.asarray(FR.many_to_limbs(coeffs)), jnp.asarray(FR.to_limbs(xv))
+    )
+    p_s = sum(c * pow(s, i, hm.R) for i, c in enumerate(coeffs)) % hm.R
+    y_int = sum(c * pow(xv, i, hm.R) for i, c in enumerate(coeffs)) % hm.R
+    assert FR.from_limbs(np.asarray(yv)) == y_int
+    assert cv.g1_from_device(commit) == hm.g1_mul(hm.G1_GEN, p_s)
+    q_s = (p_s - y_int) * pow((s - xv) % hm.R, -1, hm.R) % hm.R
+    assert cv.g1_from_device(proof) == hm.g1_mul(hm.G1_GEN, q_s)
