@@ -29,13 +29,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops import curve as cv
 from ..ops import msm as msmops
 from ..ops import poly as polyops
 from ..ops.curve import G1
 from ..ops.field import FR
+from ..utils.hostmath import R as hm_R
 
 AXIS = "shard"
 
@@ -162,3 +163,58 @@ def sharded_commit_and_prove(mesh: Mesh, setup_x, setup_y, coeffs: jnp.ndarray, 
         mesh, (setup_x[:, : n - 1], setup_y[:, : n - 1]), FR.from_mont(quotient)
     )
     return commit, proof, y
+
+
+def sharded_ntt(mesh: Mesh, coeffs: jnp.ndarray, k: int, k1: int | None = None):
+    """Distributed four-step NTT with ONE all-to-all (the butterfly-stage
+    exchange of SURVEY.md §2.3/§5 — ICI-friendly: every chip exchanges equal
+    blocks once, all other stages are chip-local).
+
+    Decompose n = n1 * n2 (k = k1 + k2): columns sharded -> local length-n1
+    NTTs -> on-device twiddle correction (geometric prefix scan) -> all_to_all
+    transpose -> local length-n2 NTTs. Returns the full natural-order
+    evaluation array (gathered, (16, 2^k) Montgomery).
+    """
+    from ..ops import ntt as nttops
+
+    ndev = mesh.devices.size
+    n = 1 << k
+    if coeffs.shape[1] != n:
+        coeffs = jnp.pad(coeffs, [(0, 0), (0, n - coeffs.shape[1])])
+    if k1 is None:
+        k1 = k // 2
+    k2 = k - k1
+    n1, n2 = 1 << k1, 1 << k2
+    if n2 % ndev or n1 % ndev:
+        raise ValueError("mesh size must divide both NTT factors")
+
+    w_n = nttops._domain_root(k)
+    # per-global-column ratio w_n^{i2}, shipped sharded (tiny)
+    col_pow = FR.many_to_limbs([pow(w_n, i2, hm_R) for i2 in range(n2)])
+    mat = coeffs.reshape(FR.L, n1, n2)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None, AXIS), P(None, AXIS)),
+        out_specs=P(None, AXIS, None),
+        check_rep=False,
+    )
+    def f(m_local, ratio_local):
+        t = nttops._ntt_core(m_local, k1, inverse=False)  # columns, batched over local cols
+        # twiddle matrix T[j1, i2] = ratio^(j1): geometric prefix scan along j1
+        ones = jnp.broadcast_to(jnp.asarray(FR.ONE_MONT)[:, None, None], (FR.L, 1, ratio_local.shape[1]))
+        ratios = jnp.broadcast_to(ratio_local[:, None, :], (FR.L, n1 - 1, ratio_local.shape[1]))
+        tw = jax.lax.associative_scan(
+            lambda a, b: FR.mul(a, b), jnp.concatenate([ones, ratios], axis=1), axis=1
+        )
+        t = FR.mul(t, tw)
+        # redistribute: split rows (axis 1), gather full columns (axis 2)
+        t = jax.lax.all_to_all(t, AXIS, split_axis=1, concat_axis=2, tiled=True)
+        # row-wise NTT over the full i2 axis
+        t = jnp.moveaxis(t, 2, 1)  # (16, n2, n1_local)
+        t = nttops._ntt_core(t, k2, inverse=False)
+        return jnp.moveaxis(t, 1, 2)  # (16, n1_local, n2)
+
+    out = f(mat, jnp.asarray(col_pow))  # (16, n1, n2) = X[j1, j2], j = j1 + n1*j2
+    return jnp.transpose(out, (0, 2, 1)).reshape(FR.L, n)

@@ -82,3 +82,16 @@ def test_sharded_commit_and_prove(mesh, srs, rng):
     assert cv.g1_from_device(commit) == hm.g1_mul(hm.G1_GEN, p_s)
     q_s = (p_s - y_int) * pow((s - xv) % hm.R, -1, hm.R) % hm.R
     assert cv.g1_from_device(proof) == hm.g1_mul(hm.G1_GEN, q_s)
+
+
+def test_sharded_ntt_matches_single(mesh, rng):
+    import jax.numpy as jnp
+    from kzg_tpu.ops import ntt as nttops
+    from kzg_tpu.parallel import sharded as sh
+
+    k = 8  # 256-point domain; n1 = n2 = 16, 8 devices divide both
+    coeffs = [rng.randrange(hm.R) for _ in range(1 << k)]
+    dev = jnp.asarray(FR.many_to_limbs(coeffs))
+    got = sh.sharded_ntt(mesh, dev, k)
+    exp = nttops.ntt(dev, k)
+    assert FR.from_limbs_many(got) == FR.from_limbs_many(exp)
