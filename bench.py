@@ -50,21 +50,35 @@ def main() -> int:
     print(f"[bench] SRS generation ({n} pts): {time.time()-t0:.1f}s", file=sys.stderr)
 
     rng = np.random.default_rng(0xB152381)
-    scalars = cv.fr_to_device(
-        [int.from_bytes(rng.bytes(32), "little") % hm.R for _ in range(n)], batch=True
-    )
+    sc_ints = [int.from_bytes(rng.bytes(32), "little") % hm.R for _ in range(n)]
+    scalars = cv.fr_to_device(sc_ints, batch=True)
 
-    msm = jax.jit(lambda x, y, k: msmops.msm_batched_affine(cv.G1, (x, y), k))
-    t0 = time.time()
-    out = jax.block_until_ready(msm(px, py, scalars))
-    print(f"[bench] MSM compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+    msm = jax.jit(lambda x, y, k: msmops.msm_pippenger_g1((x, y), k))
 
-    # correctness spot check vs exact oracle on a small prefix
+    def run():
+        out = msm(px, py, scalars)
+        # force full device->host sync (block_until_ready alone has proven
+        # unreliable for timing on the tunneled backend)
+        return tuple(np.asarray(c) for c in out)
+
     t0 = time.time()
+    out = run()
+    print(f"[bench] Pippenger MSM compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # correctness spot check vs exact oracle
+    s = 0x1CAFE_F00D_5EED
+    exp_scalar = sum(si * pow(s, i, hm.R) for i, si in enumerate(sc_ints)) % hm.R
+    got = cv.g1_from_device(out)
+    exp = hm.g1_mul(hm.G1_GEN, exp_scalar)
+    if got != exp:
+        print("[bench] WARNING: MSM result mismatch vs oracle!", file=sys.stderr)
+        return 1
+    print("[bench] MSM output matches exact oracle", file=sys.stderr)
+
     times = []
     for _ in range(iters):
         t1 = time.time()
-        out = jax.block_until_ready(msm(px, py, scalars))
+        run()
         times.append(time.time() - t1)
     best = min(times)
     pts_per_s = n / best

@@ -92,15 +92,22 @@ def _msm_g1_affine_jit(n: int, x, y, scalars):
 # ---------------------------------------------------------------------------
 # Pippenger (bucket) MSM
 #
-# The TPU formulation: per 8-bit window, SORT points by digit, then a chunked
-# scan-accumulate-flush pass builds per-(chunk, digit) partial sums with ONE
-# mixed add per point per window (the work-optimal bucket accumulation) and
-# scatter-SETs each completed run into its bucket (runs are contiguous after
-# the sort, so every (chunk, digit) slot is written at most once — no
-# read-modify-write races). Cross-chunk partials tree-reduce, the classic
-# suffix-sum turns buckets into the window sum, and a Horner ladder combines
-# windows. ~32N mixed adds total vs ~256N ladder double+adds for the batched
-# naive MSM — and every stage is a compile-once loop body.
+# TPU formulation with NO scatter (TPU scatters serialize) and no per-step
+# bucket state:
+#   per window: SORT points by 8-bit digit, split into C chunks of length m,
+#   run ONE lax.scan of m steps whose state is just the current run
+#   accumulator per chunk (same digit -> mixed add, new digit -> restart) and
+#   whose stacked outputs are the running sums at every step. Because digits
+#   are sorted within a chunk, the bucket sum for digit b inside chunk c is
+#   simply the running value at the LAST position where the chunk's digit
+#   equals b — extracted afterwards with a batched searchsorted + gather.
+#   Cross-chunk partials reduce with a shrinking halving tree, buckets reduce
+#   with the classic suffix-sum scan (batched over windows), and a Horner
+#   ladder combines the 32 windows.
+#
+# Work: ~32N mixed adds + ~B*C masked adds per window, vs ~256N double+adds
+# for the batched naive ladder. Windows are packed into the scan batch
+# (lane occupancy) up to a memory cap; lax.map runs the window groups.
 # ---------------------------------------------------------------------------
 
 WINDOW_BITS = 8
@@ -112,73 +119,108 @@ def _scalar_digits(scalars: jnp.ndarray) -> jnp.ndarray:
     """(16, N) u16 limbs -> (32, N) base-256 digits, least significant first."""
     lo = scalars & jnp.uint32(0xFF)
     hi = scalars >> 8
-    # interleave: digit[2j] = lo[j], digit[2j+1] = hi[j]
     return jnp.stack([lo, hi], axis=1).reshape(2 * scalars.shape[0], *scalars.shape[1:])
 
 
-def msm_pippenger_g1(pts_affine, scalars: jnp.ndarray, inf_mask=None, chunk: int = 256):
+def _halving_tree_reduce(pts, axis: int):
+    """Shrinking pairwise reduction (work B*C, trace log2(C) adds)."""
+    n = pts[2].shape[axis]
+    while n > 1:
+        half = n // 2
+        lo = tuple(lax.slice_in_dim(c, 0, half, axis=axis) for c in pts)
+        hi = tuple(lax.slice_in_dim(c, half, 2 * half, axis=axis) for c in pts)
+        s = G1.add(lo, hi)
+        if n % 2:
+            tail = tuple(lax.slice_in_dim(c, 2 * half, n, axis=axis) for c in pts)
+            pts = tuple(jnp.concatenate([a, b], axis=axis) for a, b in zip(s, tail))
+            n = half + 1
+        else:
+            pts, n = s, half
+    return tuple(jnp.squeeze(c, axis=axis) for c in pts)
+
+
+def msm_pippenger_g1(pts_affine, scalars: jnp.ndarray, inf_mask=None, chunk: int | None = None):
     """G1 MSM via bucketed windows. pts_affine (x, y): (24, N) canonical
     Montgomery affine; scalars: (16, N) standard-form limbs. Lanes flagged in
     inf_mask (or with zero scalars) contribute nothing."""
     x, y = pts_affine
     n = scalars.shape[-1]
-    m = min(chunk, max(8, 1 << (n - 1).bit_length()))
-    n_pad = -(-n // m) * m
-    if n_pad != n:
-        padc = [(0, 0), (0, n_pad - n)]
+    n2 = 1 << max(6, (n - 1).bit_length())  # pad to pow2, >= 64
+    if chunk is None:
+        # scan depth m vs chunk-parallelism C = n2/m: keep depth modest while
+        # bounding the B*C bucket-extraction overhead
+        chunk = max(32, min(1024, n2 // 32))
+    m = min(chunk, n2)
+    if n2 != n:
+        padc = [(0, 0), (0, n2 - n)]
         x, y = jnp.pad(x, padc), jnp.pad(y, padc)
         scalars = jnp.pad(scalars, padc)
-    C = n_pad // m
+    C = n2 // m
 
-    digits = _scalar_digits(scalars)  # (32, n_pad)
+    digits = _scalar_digits(scalars)  # (32, n2)
     if inf_mask is not None:
-        inf_mask = jnp.pad(inf_mask, (0, n_pad - n))
+        inf_mask = jnp.pad(inf_mask, (0, n2 - n))
         digits = jnp.where(inf_mask[None], 0, digits)
-    def per_window(d_w):
-        order = jnp.argsort(d_w)
-        xs = x[:, order].reshape(FP.L, C, m)
-        ys = y[:, order].reshape(FP.L, C, m)
-        ds = d_w[order].reshape(C, m)
 
-        zero_pt = jnp.zeros((FP.L, C), jnp.uint32)
-        b0 = tuple(jnp.zeros((FP.L, N_BUCKETS, C), jnp.uint32) for _ in range(3))
-        one_c = jnp.broadcast_to(jnp.asarray(FP.ONE_MONT)[:, None], (FP.L, C))
-        carange = jnp.arange(C)
+    # pack several windows into the scan batch for lane occupancy; cap the
+    # gathered-point working set at ~2^21 field elements
+    wb = max(1, min(N_WINDOWS, (1 << 21) // n2))
+    while N_WINDOWS % wb:
+        wb -= 1
+    groups = N_WINDOWS // wb
 
-        def flush(buckets, run, run_d, active):
-            idx = jnp.where(active, run_d, jnp.uint32(N_BUCKETS))  # drop inactive
-            return tuple(
-                b.at[:, idx, carange].set(r, mode="drop") for b, r in zip(buckets, run)
-            )
+    def per_group(d_g):  # d_g: (wb, n2)
+        order = jnp.argsort(d_g, axis=1)  # (wb, n2)
+        xs = x[:, order]  # (L, wb, n2)
+        ys = y[:, order]
+        ds = jnp.take_along_axis(d_g, order, axis=1)  # (wb, n2)
+        # chunked views: (L, wb, C, m) -> scan over m with batch (wb, C)
+        xs = jnp.moveaxis(xs.reshape(FP.L, wb, C, m), 3, 0)  # (m, L, wb, C)
+        ys = jnp.moveaxis(ys.reshape(FP.L, wb, C, m), 3, 0)
+        dsc = ds.reshape(wb, C, m)
+        dst = jnp.moveaxis(dsc, 2, 0)  # (m, wb, C)
+
+        one_c = jnp.broadcast_to(
+            jnp.asarray(FP.ONE_MONT)[:, None, None], (FP.L, wb, C)
+        )
+        zero_pt = jnp.zeros((FP.L, wb, C), jnp.uint32)
 
         def step(state, td):
-            buckets, run, run_d = state
+            run, run_d = state
             pt_x, pt_y, d = td
             same = d == run_d
             added = G1.madd(run, (pt_x, pt_y))
             fresh = (pt_x, pt_y, one_c)
             new_run = G1.select(same, added, fresh)
-            # flush completed runs (digit changed; digit 0 contributes nothing)
-            buckets = flush(buckets, run, run_d, jnp.logical_and(~same, run_d != 0))
-            return (buckets, new_run, d), None
+            return (new_run, d), new_run
 
-        init_run = (zero_pt, zero_pt, zero_pt)  # infinity (absorbed on first madd)
-        init_d = jnp.full((C,), N_BUCKETS, jnp.uint32)  # sentinel: no run yet
-        xs_t = jnp.moveaxis(xs, 2, 0)  # (m, L, C)
-        ys_t = jnp.moveaxis(ys, 2, 0)
-        ds_t = jnp.moveaxis(ds, 1, 0)  # (m, C)
-        (buckets, run, run_d), _ = lax.scan(
-            step, (b0, init_run, init_d), (xs_t, ys_t, ds_t)
-        )
-        buckets = flush(buckets, run, run_d, run_d != 0)
-        # cross-chunk reduction -> (L, N_BUCKETS) per coordinate
-        return tree_reduce(G1, buckets, axis=-1)
+        init = ((zero_pt, zero_pt, zero_pt), jnp.full((wb, C), N_BUCKETS, jnp.uint32))
+        (_, _), runs = lax.scan(step, init, (xs, ys, dst))
+        # runs: tuple of 3 arrays (m, L, wb, C)
 
-    # lax.map compiles per_window ONCE and loops over the 32 windows.
-    win_buckets = lax.map(per_window, digits.reshape(N_WINDOWS, n_pad))
-    # (32, L, N_BUCKETS) x3 -> suffix-sum over buckets b = B-1 .. 1, batch=windows
-    bs = tuple(jnp.moveaxis(b, 0, -1) for b in win_buckets)  # (L, B, 32)
-    rev = tuple(b[:, -1:0:-1] for b in bs)  # b = B-1 .. 1: (L, B-1, 32)
+        # bucket extraction: last position in each sorted chunk with digit b
+        bvals = jnp.arange(1, N_BUCKETS, dtype=dsc.dtype)  # skip digit 0
+        search = jax.vmap(jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right")))
+        pos = search(dsc, jnp.broadcast_to(bvals, (wb, C, N_BUCKETS - 1))) - 1
+        pos = jnp.clip(pos, 0, m - 1)
+        hit = jnp.take_along_axis(dsc, pos, axis=2) == bvals  # (wb, C, B-1)
+        pos_t = jnp.moveaxis(pos, 2, 0)[:, None]  # (B-1, 1, wb, C)
+        buckets = tuple(
+            jnp.take_along_axis(r, jnp.broadcast_to(pos_t, (N_BUCKETS - 1,) + r.shape[1:]), axis=0)
+            for r in runs
+        )  # (B-1, L, wb, C)
+        hit_t = jnp.moveaxis(hit, 2, 0)[:, None]  # (B-1, 1, wb, C)
+        buckets = tuple(jnp.where(jnp.broadcast_to(hit_t, b.shape), b, 0) for b in buckets)
+        # reorder to (L, B-1, wb, C) and reduce chunks
+        buckets = tuple(jnp.moveaxis(b, 0, 1) for b in buckets)
+        return _halving_tree_reduce(buckets, axis=3)  # (L, B-1, wb)
+
+    grouped = lax.map(per_group, digits.reshape(groups, wb, n2))
+    # grouped: tuple (groups, L, B-1, wb) -> (L, B-1, 32)
+    bs = tuple(jnp.moveaxis(g, 0, 2).reshape(FP.L, N_BUCKETS - 1, N_WINDOWS) for g in grouped)
+
+    # suffix-sum over buckets b = B-1 .. 1, batched over windows
+    rev_t = tuple(jnp.moveaxis(b[:, ::-1], 1, 0) for b in bs)  # (B-1, L, 32)
 
     def suffix_step(state, bucket_b):
         running, acc = state
@@ -187,7 +229,6 @@ def msm_pippenger_g1(pts_affine, scalars: jnp.ndarray, inf_mask=None, chunk: int
         return (running, acc), None
 
     zero_w = tuple(jnp.zeros((FP.L, N_WINDOWS), jnp.uint32) for _ in range(3))
-    rev_t = tuple(jnp.moveaxis(b, 1, 0) for b in rev)  # (B-1, L, 32)
     (_, win_sums), _ = lax.scan(suffix_step, (zero_w, zero_w), rev_t)
 
     # Horner combine over windows: R = ((S31 * 2^8 + S30) * 2^8 + ...) + S0
@@ -196,8 +237,10 @@ def msm_pippenger_g1(pts_affine, scalars: jnp.ndarray, inf_mask=None, chunk: int
     def horner(w, acc):
         for _ in range(WINDOW_BITS):
             acc = G1.double(acc)
-        s_w = tuple(lax.dynamic_index_in_dim(c, N_WINDOWS - 1 - w, axis=-1, keepdims=False)
-                    for c in win_sums)
+        s_w = tuple(
+            lax.dynamic_index_in_dim(c, N_WINDOWS - 1 - w, axis=-1, keepdims=False)
+            for c in win_sums
+        )
         return G1.add(acc, s_w)
 
     return lax.fori_loop(1, N_WINDOWS, horner, top)
@@ -211,6 +254,11 @@ def _msm_pip_jit(n: int, x, y, scalars, inf_mask):
     return msm_pippenger_g1((x, y), scalars, inf_mask)
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _msm_g1_affine_masked_jit(n: int, x, y, scalars, inf_mask):
+    return msm_batched_affine(G1, (x, y), scalars, inf_mask)
+
+
 def msm_g1(pts_affine, scalars, inf_mask=None):
     """Jitted G1 MSM entry point (affine points): bucketed Pippenger for large
     batches, batched ladder for small ones. Identical group results."""
@@ -219,5 +267,5 @@ def msm_g1(pts_affine, scalars, inf_mask=None):
     if n >= PIPPENGER_THRESHOLD:
         return _msm_pip_jit(n, x, y, scalars, inf_mask)
     if inf_mask is not None:
-        return msm_batched_affine(G1, pts_affine, scalars, inf_mask)
+        return _msm_g1_affine_masked_jit(n, x, y, scalars, inf_mask)
     return _msm_g1_affine_jit(n, x, y, scalars)

@@ -172,13 +172,8 @@ class Polynomial:
         px = jnp.asarray(cv.FP.many_to_limbs(xs))
         py = jnp.asarray(cv.FP.many_to_limbs(ys))
         scalars = FR.from_mont(self._coeffs)
-        if any(infs):
-            jac = msmops.msm_batched_affine(
-                cv.G1, (px, py), scalars, inf_mask=jnp.asarray(infs)
-            )
-        else:
-            jac = msmops.msm_g1((px, py), scalars)
-        return G1Point(jac)
+        mask = jnp.asarray(infs) if any(infs) else None
+        return G1Point(msmops.msm_g1((px, py), scalars, inf_mask=mask))
 
     # -- display --------------------------------------------------------------------
 
