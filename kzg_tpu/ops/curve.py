@@ -232,7 +232,9 @@ class JacobianCurve:
         X, Y, Z = p
         inf = self.is_inf(p)
         if self.F is FP:
-            zi = FP.inv(FP.select(inf, FP.one(Z) + jnp.zeros_like(Z), Z))
+            safe = FP.select(inf, FP.one(Z) + jnp.zeros_like(Z), Z)
+            # batched lanes: Montgomery-trick inversion (one Fermat total)
+            zi = FP.inv_batch(safe, -1) if safe.ndim >= 2 else FP.inv(safe)
         else:
             zi = fp2.inv(fp2.select(inf, jnp.asarray(fp2.one(Z)) + jnp.zeros_like(Z), Z))
         zi2 = F.square(zi)

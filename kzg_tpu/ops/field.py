@@ -250,6 +250,34 @@ class Field:
         return self.pow_const(a, self.modulus - 2)
 
     @jitmethod(static_argnums=(1,))
+    def inv_batch(self, a: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+        """Batched inversion via the Montgomery trick, parallel-prefix form:
+        inv(a_i) = prefix_{i-1} * suffix_{i+1} * inv(total) — two associative
+        scans (2 log N batched multiplies) + ONE Fermat inversion, vs the ~760
+        multiplies per lane of plain Fermat. Zero lanes map to zero (they are
+        replaced by 1 in the products and masked at the end)."""
+        ax = axis % a.ndim
+        assert ax >= 1, "axis 0 is the limb axis"
+        zero = jnp.all(a == 0, axis=0)
+        one = self.one(a)
+        safe = lb.select(zero, jnp.broadcast_to(one, a.shape), a)
+        pre = lax.associative_scan(lambda x, y: self.mul(x, y), safe, axis=ax)
+        suf = lax.associative_scan(lambda x, y: self.mul(x, y), safe, axis=ax, reverse=True)
+        total_inv = self.inv(lax.index_in_dim(pre, -1, axis=ax, keepdims=True))
+        n = a.shape[ax]
+        pad = [(0, 0)] * a.ndim
+        pad[ax] = (1, 0)
+        pre_shift = lax.slice_in_dim(jnp.pad(pre, pad), 0, n, axis=ax)  # prefix_{i-1}, 0-padded
+        pad[ax] = (0, 1)
+        suf_shift = lax.slice_in_dim(jnp.pad(suf, pad), 1, n + 1, axis=ax)  # suffix_{i+1}
+        # replace the zero-padding at the ends with Montgomery one
+        idx = lax.broadcasted_iota(jnp.int32, a.shape[1:], ax - 1)
+        pre_shift = lb.select(idx == 0, jnp.broadcast_to(one, a.shape), pre_shift)
+        suf_shift = lb.select(idx == n - 1, jnp.broadcast_to(one, a.shape), suf_shift)
+        out = self.mul(self.mul(pre_shift, suf_shift), total_inv)
+        return lb.select(zero, jnp.zeros_like(out), out)
+
+    @jitmethod(static_argnums=(1,))
     def pow_small(self, a: jnp.ndarray, e: int) -> jnp.ndarray:
         """a^e for a static exponent; unrolled when the chain is short, else the
         fori-loop path (keeps compile time bounded for any e)."""
