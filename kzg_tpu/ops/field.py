@@ -120,34 +120,21 @@ class Field:
         take = jnp.logical_or(extra > 0, borrow == 0)
         return lb.select(take, d, x)
 
-    def _carry_cond_sub(self, cols: jnp.ndarray, n_arr: np.ndarray, keep: int) -> jnp.ndarray:
-        """Normalize accumulation columns and conditionally subtract N in ONE
-        fused scan (carry chain + borrow chain together — halves the loop ops
-        in every add/sub/mul trace). `n_arr` is the modulus aligned to the
-        column array (zero-padded low columns keep the borrow chain at 0);
-        `keep` = how many trailing limbs form the result (< 2N before the
-        subtraction). Assumes every column < 2^32 - 2^16."""
-        n_b = jnp.broadcast_to(lb.bcast_const(n_arr, cols), cols.shape)
-
-        def step(state, cn):
-            carry, borrow = state
-            col, n = cn
-            tot = col + carry
-            limb = tot & lb.MASK16
-            bb = n + borrow
-            nb = (limb < bb).astype(jnp.uint32)
-            d = (limb - bb) & lb.MASK16
-            return (tot >> 16, nb), (limb, d)
-
-        init = (jnp.zeros(cols.shape[1:], jnp.uint32),) * 2
-        (carry, borrow), (limbs, diff) = lax.scan(step, init, (cols, n_b))
+    def _carry_cond_sub(self, cols: jnp.ndarray, keep: int) -> jnp.ndarray:
+        """Normalize accumulation columns and conditionally subtract N —
+        log-depth: one parallel carry circuit + one complement subtract.
+        `keep` = how many trailing limbs form the result (value < 2N before
+        the subtraction). Assumes every column < 2^32 - 2^16."""
+        limbs, carry = lb.carry_reduce(cols)
+        hi = limbs[-keep:]
+        d, borrow = lb.sub_borrow(hi, self.const(self.N, hi))
         take = jnp.logical_or(carry > 0, borrow == 0)
-        return lb.select(take, diff[-keep:], limbs[-keep:])
+        return lb.select(take, d, hi)
 
     @jitmethod()
     def add(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         a, b = lb.align(a, b)
-        return self._carry_cond_sub(a + b, self.N, self.L)
+        return self._carry_cond_sub(a + b, self.L)
 
     @jitmethod()
     def sub(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -173,17 +160,11 @@ class Field:
         return (limbs_ >> 1) | ((nxt & 1) << 15)
 
     def redc(self, t: jnp.ndarray) -> jnp.ndarray:
-        """Montgomery reduction of a 2L-limb value t < N*R -> canonical t/R mod N.
-
-        The final carry propagation over all 2L columns and the conditional
-        subtraction of N from the high half run as one fused scan (the
-        zero-padded low half of N keeps the borrow chain idle there).
-        """
+        """Montgomery reduction of a 2L-limb value t < N*R -> canonical t/R mod N."""
         m = lb.mul_low(t[: self.L], self.const(self.NP, t))
         u = lb.mul_wide(m, self.const(self.N, m))
         t, u = lb.align(t, u)
-        n_pad = np.concatenate([np.zeros(self.L, np.uint32), self.N])
-        return self._carry_cond_sub(t + u, n_pad, self.L)
+        return self._carry_cond_sub(t + u, self.L)
 
     @jitmethod()
     def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

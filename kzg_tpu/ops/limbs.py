@@ -80,42 +80,71 @@ def bcast_const(c: np.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _shift_up(x: jnp.ndarray, d: int = 1) -> jnp.ndarray:
+    """Move limb i to position i+d (zero-fill at the bottom)."""
+    pad = [(d, 0)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad)[: x.shape[0]]
+
+
 def carry_reduce(cols: jnp.ndarray):
-    """Normalize accumulation columns to canonical u16 limbs.
+    """Normalize accumulation columns to canonical u16 limbs — LOG-DEPTH.
 
     cols: (K, *batch) uint32, each column < 2^32 - 2^16 (slack for the carry).
     Returns (limbs, carry_out): limbs (K, *batch) in [0, 2^16), carry_out (*batch,).
+
+    A sequential lax.scan ripple costs K tiny loop iterations per field op
+    (milliseconds per point-add on TPU); instead: two local carry passes bring
+    every carry to 0/1, then a Kogge-Stone generate/propagate network resolves
+    the remaining ripple in log2(K) full-width vector steps.
     """
-
-    def step(carry, col):
-        tot = col + carry
-        return tot >> 16, tot & MASK16
-
-    init = jnp.zeros(cols.shape[1:], jnp.uint32)
-    carry, limbs = lax.scan(step, init, cols)
-    return limbs, carry
+    K = cols.shape[0]
+    # pass 1: col < 2^32 -> limbs < 2^17 (carry < 2^16)
+    s = (cols & MASK16) + _shift_up(cols >> 16)
+    c1_top = cols[-1] >> 16  # would-be carry out of the top from pass 1
+    # pass 2: limbs < 2^17 -> value <= 2^16, carries in {0,1}
+    s = (s & MASK16) + _shift_up(s >> 16)
+    c2_top = s[-1] >> 16
+    # Kogge-Stone on 0/1 carries: g = carry generated, p = propagates (0xffff)
+    g = s >> 16
+    p = ((s & MASK16) == MASK16).astype(jnp.uint32)
+    d = 1
+    while d < K:
+        g = g | (p & _shift_up(g, d))
+        p = p & _shift_up(p, d)
+        d *= 2
+    carry_in = _shift_up(g)  # carry INTO limb i (from limbs < i)
+    limbs = (s + carry_in) & MASK16
+    carry_out = c1_top + c2_top + g[-1]
+    return limbs, carry_out
 
 
 def sub_borrow(a: jnp.ndarray, b: jnp.ndarray):
-    """a - b over u16 limbs with borrow chain.
+    """a - b over u16 limbs with borrow chain (log-depth via complement add).
 
-    Returns (diff, borrow_out) where diff = (a - b) mod 2^(16K) as u16 limbs and
-    borrow_out (*batch,) is 1 where a < b.
+    Returns (diff, borrow_out) where diff = (a - b) mod 2^(16K) as u16 limbs
+    and borrow_out (*batch,) is 1 where a < b.
     """
     a, b = align(a, b)
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     a = jnp.broadcast_to(a, shape)
     b = jnp.broadcast_to(b, shape)
-
-    def step(borrow, ab):
-        ai, bi = ab
-        bb = bi + borrow
-        new_borrow = (ai < bb).astype(jnp.uint32)
-        d = (ai - bb) & MASK16
-        return new_borrow, d
-
-    init = jnp.zeros(a.shape[1:], jnp.uint32)
-    borrow, diff = lax.scan(step, init, (a, b))
+    K = a.shape[0]
+    # a - b = a + ~b + 1 (mod 2^(16K)); columns <= 2*0xffff + 1 < 2^17
+    comp = b ^ MASK16
+    cols = a + comp
+    cols = cols.at[0].add(1)
+    s = (cols & MASK16) + _shift_up(cols >> 16)
+    c1_top = cols[-1] >> 16
+    g = s >> 16
+    p = ((s & MASK16) == MASK16).astype(jnp.uint32)
+    d = 1
+    while d < K:
+        g = g | (p & _shift_up(g, d))
+        p = p & _shift_up(p, d)
+        d *= 2
+    diff = (s + _shift_up(g)) & MASK16
+    carry_out = c1_top + g[-1]
+    borrow = (carry_out == 0).astype(jnp.uint32)
     return diff, borrow
 
 
