@@ -66,8 +66,25 @@ class JacobianCurve:
 
     # -- group law ------------------------------------------------------------
 
+    def _pallas_ok(self, p) -> bool:
+        """Fused whole-point Pallas kernels: G1 on TPU with enough lanes."""
+        if self.F is not FP:
+            return False
+        from .field import _use_pallas, _PALLAS_MIN_BATCH
+
+        if not _use_pallas():
+            return False
+        import numpy as _np
+
+        batch = int(_np.prod(p[2].shape[1:], dtype=_np.int64)) if p[2].ndim > 1 else 1
+        return batch >= _PALLAS_MIN_BATCH
+
     def double(self, p):
         """dbl-2009-l (a = 0): 2M + 5S. Maps infinity/2-torsion to infinity."""
+        if self._pallas_ok(p):
+            from . import pallas_curve as pc
+
+            return pc.double(p)
         F = self.F
         X, Y, Z = p
         A = F.square(X)
@@ -85,6 +102,10 @@ class JacobianCurve:
 
     def add(self, p, q):
         """add-2007-bl with branchless exceptional-case handling: 11M + 5S."""
+        if self._pallas_ok(p) and p[2].shape == q[2].shape:
+            from . import pallas_curve as pc
+
+            return pc.add(p, q)
         F = self.F
         X1, Y1, Z1 = p
         X2, Y2, Z2 = q
@@ -120,6 +141,12 @@ class JacobianCurve:
         F = self.F
         X1, Y1, Z1 = p
         X2, Y2 = (self.lift(c, X1.ndim) for c in q_affine)
+        if self._pallas_ok(p):
+            from . import pallas_curve as pc
+
+            X2b = jnp.broadcast_to(X2, X1.shape)
+            Y2b = jnp.broadcast_to(Y2, Y1.shape)
+            return pc.madd(p, (X2b, Y2b))
         Z1Z1 = F.square(Z1)
         U2 = F.mul(X2, Z1Z1)
         S2 = F.mul(Y2, F.mul(Z1, Z1Z1))

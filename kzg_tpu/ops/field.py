@@ -29,6 +29,28 @@ from jax import lax
 from . import limbs as lb
 
 
+_PALLAS_MIN_BATCH = 512  # below this, launch overhead beats the fusion win
+_PALLAS_BLOCK = 512
+_USE_PALLAS: bool | None = None
+
+
+def _use_pallas() -> bool:
+    """Route multiplies through the fused Pallas kernel on TPU backends
+    (KZG_TPU_NO_PALLAS=1 disables; CPU/test meshes use the XLA path)."""
+    global _USE_PALLAS
+    if _USE_PALLAS is None:
+        import os
+
+        if os.environ.get("KZG_TPU_NO_PALLAS"):
+            _USE_PALLAS = False
+        else:
+            try:
+                _USE_PALLAS = jax.default_backend() in ("tpu", "axon")
+            except Exception:
+                _USE_PALLAS = False
+    return _USE_PALLAS
+
+
 def jitmethod(*, static_argnums=()):
     """Per-instance jit cache for Field methods.
 
@@ -168,6 +190,22 @@ class Field:
 
     @jitmethod()
     def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        if _use_pallas():
+            a, b = lb.align(a, b)
+            shape = jnp.broadcast_shapes(a.shape, b.shape)
+            batch = int(np.prod(shape[1:], dtype=np.int64)) if len(shape) > 1 else 1
+            if batch >= _PALLAS_MIN_BATCH:
+                from . import pallas_field as pf
+
+                block = _PALLAS_BLOCK
+                a = jnp.broadcast_to(a, shape).reshape(self.L, batch)
+                b = jnp.broadcast_to(b, shape).reshape(self.L, batch)
+                pad = (-batch) % block
+                if pad:
+                    a = jnp.pad(a, [(0, 0), (0, pad)])
+                    b = jnp.pad(b, [(0, 0), (0, pad)])
+                out = pf.mont_mul_pallas(a, b, self.modulus, self.n_prime_int, self.L, block)
+                return out[:, :batch].reshape(shape)
         return self.redc(lb.mul_wide(a, b))
 
     @jitmethod()

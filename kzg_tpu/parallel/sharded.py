@@ -82,7 +82,7 @@ def sharded_msm_g1(mesh: Mesh, pts_affine, scalars: jnp.ndarray):
         mesh=mesh,
         in_specs=(P(None, AXIS), P(None, AXIS), P(None, AXIS)),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def f(xl, yl, kl):
         part = msmops.msm_batched_affine(G1, (xl, yl), kl)
@@ -111,7 +111,7 @@ def sharded_evaluate(mesh: Mesh, coeffs: jnp.ndarray, x: jnp.ndarray):
         mesh=mesh,
         in_specs=(P(None, AXIS), P(None), P(None, AXIS)),
         out_specs=P(None),
-        check_rep=False,
+        check_vma=False,
     )
     def f(cl, xx, off):
         pw = polyops.powers(xx, m)  # x^0..x^(m-1) local
@@ -136,7 +136,7 @@ def sharded_setup_g1(mesh: Mesh, secret_mont: jnp.ndarray, count: int):
         mesh=mesh,
         in_specs=(P(None, AXIS),),
         out_specs=(P(None, AXIS), P(None, AXIS), P(None, AXIS)),
-        check_rep=False,
+        check_vma=False,
     )
     def f(kl):
         return cv.G1.mul_scalar_affine(cv.G1_GEN_DEV, kl)
@@ -198,7 +198,7 @@ def sharded_ntt(mesh: Mesh, coeffs: jnp.ndarray, k: int, k1: int | None = None):
         mesh=mesh,
         in_specs=(P(None, None, AXIS), P(None, AXIS)),
         out_specs=P(None, AXIS, None),
-        check_rep=False,
+        check_vma=False,
     )
     def f(m_local, ratio_local):
         t = nttops._ntt_core(m_local, k1, inverse=False)  # columns, batched over local cols

@@ -154,7 +154,11 @@ class Polynomial:
 
     def commit(self, setup_artifacts) -> G1Point:
         """Commitment MSM on device: C = sum_i a_i * (s^i G1)
-        (reference hot loop src/polynomial.rs:207-214)."""
+        (reference hot loop src/polynomial.rs:207-214).
+
+        Accepts either a list of SetupArtifact (reference parity) or a
+        trusted_setup.DeviceSRS (device-resident bulk SRS, no host conversion).
+        """
         n = self.num_coefficients
         if self.degree() + 1 > len(setup_artifacts):
             raise ProtocolError(
@@ -162,6 +166,14 @@ class Polynomial:
             )
         if n == 0:
             return G1Point.from_i128(0)
+        scalars = FR.from_mont(self._coeffs)
+        from .trusted_setup import DeviceSRS
+
+        if isinstance(setup_artifacts, DeviceSRS):
+            srs = setup_artifacts
+            px, py = srs.g1_x[:, :n], srs.g1_y[:, :n]
+            mask = srs.g1_inf[:n] if srs.g1_inf is not None else None
+            return G1Point(msmops.msm_g1((px, py), scalars, inf_mask=mask))
         xs, ys, infs = [], [], []
         for art in setup_artifacts[:n]:
             p = art.g1.affine()
@@ -171,7 +183,6 @@ class Polynomial:
                 xs.append(p[0]); ys.append(p[1]); infs.append(False)
         px = jnp.asarray(cv.FP.many_to_limbs(xs))
         py = jnp.asarray(cv.FP.many_to_limbs(ys))
-        scalars = FR.from_mont(self._coeffs)
         mask = jnp.asarray(infs) if any(infs) else None
         return G1Point(msmops.msm_g1((px, py), scalars, inf_mask=mask))
 
@@ -233,10 +244,14 @@ class Evaluation:
         """e(proof, s G2 - x G2) == e(C - y G1, G2), both pairings in one
         batched device call (src/polynomial.rs:276-294)."""
         from .ops import pairing as devpair
+        from .trusted_setup import DeviceSRS
 
         if len(setup_artifacts) < 2:
             raise ProtocolError("At least 2 setup artifacts are required for verification")
-        s_g2 = setup_artifacts[1].g2
+        if isinstance(setup_artifacts, DeviceSRS):
+            s_g2 = setup_artifacts.g2[1]
+        else:
+            s_g2 = setup_artifacts[1].g2
         lhs_g2 = s_g2.sub(G2Point.from_scalar(self.point))
         rhs_g1 = commitment.sub(G1Point.from_scalar(self.result))
         return devpair.pairing_pair_equal(proof, lhs_g2, rhs_g1, G2Point.from_i128(1))

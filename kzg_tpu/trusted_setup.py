@@ -110,3 +110,61 @@ class SetupArtifactsGenerator:
 
     def take(self, n: int) -> list[SetupArtifact]:
         return [next(self) for _ in range(n)]
+
+
+class DeviceSRS:
+    """Device-resident SRS: G1 powers as affine limb arrays ready for the MSM
+    ladders (no per-commit host conversion), plus the two G2 points
+    verification needs. The TPU-native 'sharded SRS load' of SURVEY.md §5.
+
+    Build once from artifacts (or straight from setup.json via batched device
+    decompression) and pass to Polynomial.commit / Evaluation.verify_proof in
+    place of the artifact list.
+    """
+
+    def __init__(self, g1_x, g1_y, g1_inf, g2_points, count: int):
+        self.g1_x = g1_x  # (24, n) Montgomery affine
+        self.g1_y = g1_y
+        self.g1_inf = g1_inf  # (n,) bool or None
+        self.g2 = g2_points  # list[G2Point] (only [0], [1] are required)
+        self.count = count
+
+    def __len__(self) -> int:
+        return self.count
+
+    @classmethod
+    def from_artifacts(cls, setup_artifacts) -> "DeviceSRS":
+        import jax.numpy as jnp
+        from .ops import curve as cv
+
+        xs, ys, infs = [], [], []
+        for a in setup_artifacts:
+            p = a.g1.affine()
+            if p is None:
+                xs.append(0); ys.append(0); infs.append(True)
+            else:
+                xs.append(p[0]); ys.append(p[1]); infs.append(False)
+        g1_x = jnp.asarray(cv.FP.many_to_limbs(xs))
+        g1_y = jnp.asarray(cv.FP.many_to_limbs(ys))
+        inf = jnp.asarray(infs) if any(infs) else None
+        g2s = [a.g2 for a in setup_artifacts[:2]]
+        return cls(g1_x, g1_y, inf, g2s, len(setup_artifacts))
+
+    @classmethod
+    def load(cls, path: str) -> "DeviceSRS":
+        """Bulk-load setup.json: G1 points decompressed in ONE device batch
+        (host sqrt per point would take minutes at 2^20 scale)."""
+        import json
+
+        import jax.numpy as jnp
+
+        from .curves import G2Point
+        from .ops import codec, curve as cv
+
+        with open(path) as f:
+            raw = json.load(f)
+        jac = codec.g1_decompress_batch([bytes(a["g1"]) for a in raw])
+        (x, y), inf = cv.G1.to_affine(jac)
+        g2s = [G2Point.from_json(a["g2"]) for a in raw[:2]]
+        any_inf = bool(jnp.any(inf))
+        return cls(x, y, inf if any_inf else None, g2s, len(raw))

@@ -208,3 +208,40 @@ def test_point_serde_errors():
     # infinity round-trip
     inf = G1Point.from_i128(0)
     assert G1Point.from_json(inf.to_json()).is_infinity()
+
+
+def test_g1_batch_decompression(rng):
+    from kzg_tpu.ops import codec, curve as cv
+
+    ks = [rng.randrange(1, hm.R) for _ in range(6)]
+    pts = [hm.g1_mul(hm.G1_GEN, k) for k in ks] + [None]
+    blobs = [hm.g1_compress(p) for p in pts]
+    jac = codec.g1_decompress_batch(blobs, subgroup_check=True)
+    assert cv.g1_from_device(jac) == pts
+    # off-curve x must be rejected
+    bad = bytearray(blobs[0])
+    # pick an x whose x^3+4 is a non-residue: flip low bytes until decode fails
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        for tweak in range(1, 200):
+            bb = bytearray(blobs[0])
+            bb[47] = (bb[47] + tweak) % 256
+            codec.g1_decompress_batch([bytes(bb)])
+
+
+def test_device_srs_commit_matches_artifacts(small_setup, tmp_path, monkeypatch, rng):
+    from kzg_tpu.trusted_setup import DeviceSRS
+
+    setup, s = small_setup
+    monkeypatch.chdir(tmp_path)
+    art.save_setup(setup)
+    srs = DeviceSRS.load(art.SETUP_ARTIFACTS_PATH)
+    assert len(srs) == len(setup)
+    p = Polynomial.from_ints([rng.randrange(hm.R) for _ in range(5)])
+    assert p.commit(srs) == p.commit(setup)
+    srs2 = DeviceSRS.from_artifacts(setup)
+    assert p.commit(srs2) == p.commit(setup)
+    ev = p.evaluate(Scalar.from_i128(3))
+    proof = ev.generate_proof(p, srs)
+    assert proof == ev.generate_proof(p, setup)
