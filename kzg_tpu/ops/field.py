@@ -29,8 +29,9 @@ from jax import lax
 from . import limbs as lb
 
 
-_PALLAS_MIN_BATCH = 512  # below this, launch overhead beats the fusion win
+_PALLAS_MIN_BATCH = 64  # below this, launch overhead beats the fusion win
 _PALLAS_BLOCK = 512
+_PALLAS_SMALL_BLOCK = 128  # latency-bound shapes (e.g. the pairing towers)
 _USE_PALLAS: bool | None = None
 
 
@@ -197,7 +198,7 @@ class Field:
             if batch >= _PALLAS_MIN_BATCH:
                 from . import pallas_field as pf
 
-                block = _PALLAS_BLOCK
+                block = _PALLAS_BLOCK if batch >= _PALLAS_BLOCK else _PALLAS_SMALL_BLOCK
                 a = jnp.broadcast_to(a, shape).reshape(self.L, batch)
                 b = jnp.broadcast_to(b, shape).reshape(self.L, batch)
                 pad = (-batch) % block

@@ -201,21 +201,23 @@ def _pad_block(arrs, batch, block):
     return arrs, pad
 
 
-def _run(which: str, arrs, block: int = 512):
+def _run(which: str, arrs, block: int | None = None):
     flat, shape, batch = _flatten_batch(arrs)
+    if block is None:
+        block = min(1024, max(128, 1 << (batch - 1).bit_length()))
     flat, _ = _pad_block(flat, batch, block)
     out = _run_point_kernel(tuple(flat), which, block)
     return tuple(o[:, :batch].reshape(shape) for o in out)
 
 
-def madd(p, q_affine, block: int = 512):
+def madd(p, q_affine, block: int | None = None):
     """Fused mixed add on (24, *batch) coordinate arrays (same-shape operands)."""
     return _run("madd", [p[0], p[1], p[2], q_affine[0], q_affine[1]], block)
 
 
-def add(p, q, block: int = 512):
+def add(p, q, block: int | None = None):
     return _run("add", [*p, *q], block)
 
 
-def double(p, block: int = 512):
+def double(p, block: int | None = None):
     return _run("double", list(p), block)

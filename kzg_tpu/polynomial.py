@@ -265,3 +265,58 @@ class Evaluation:
 
     def __repr__(self):
         return f"Evaluation(point={self.point}, result={self.result})"
+
+
+def verify_proofs_batch(proofs, commitments, evaluations, setup_artifacts) -> list[bool]:
+    """Verify MANY evaluation proofs in ONE batched device pairing program —
+    the TPU-native serving shape (single-proof latency is pairing-depth-bound;
+    throughput comes from batching: 2V pairings share every Miller-loop and
+    final-exponentiation step).
+
+    Semantics per item match Evaluation.verify_proof exactly.
+    """
+    from .ops import curve as cvo
+    from .ops import pairing as devpair
+    from .trusted_setup import DeviceSRS
+    from .utils import hostmath as hm
+
+    if len(setup_artifacts) < 2:
+        raise ProtocolError("At least 2 setup artifacts are required for verification")
+    v = len(proofs)
+    if not (len(commitments) == len(evaluations) == v):
+        raise ProtocolError("proofs/commitments/evaluations length mismatch")
+    if v == 0:
+        return []
+    s_g2 = (
+        setup_artifacts.g2[1]
+        if isinstance(setup_artifacts, DeviceSRS)
+        else setup_artifacts[1].g2
+    )
+
+    xs = jnp.stack([ev.point.std_limbs() for ev in evaluations], axis=-1)  # (16, V)
+    ys = jnp.stack([ev.result.std_limbs() for ev in evaluations], axis=-1)
+
+    # lhs G2 inputs: s*G2 - x*G2 (batched fixed-base ladder over V)
+    x_g2 = cvo.G2.mul_scalar_affine(cvo.G2_GEN_DEV, xs)
+    s_jac = tuple(cvo.JacobianCurve.lift(c, x_g2[0].ndim) for c in s_g2.jac)
+    lhs_g2 = cvo.G2.add(tuple(jnp.broadcast_to(c, o.shape) for c, o in zip(s_jac, x_g2)),
+                        cvo.G2.neg(x_g2))
+    # rhs G1 inputs: C - y*G1
+    y_g1 = cvo.G1.mul_scalar_affine(cvo.G1_GEN_DEV, ys)
+    c_jac = tuple(jnp.stack([cm.jac[k] for cm in commitments], axis=-1) for k in range(3))
+    rhs_g1 = cvo.G1.add(c_jac, cvo.G1.neg(y_g1))
+    p_jac = tuple(jnp.stack([pf.jac[k] for pf in proofs], axis=-1) for k in range(3))
+
+    # batch both pairing sides: lanes [0, V) = lhs pairing, [V, 2V) = rhs pairing
+    g1_all = tuple(jnp.concatenate([a, b], axis=-1) for a, b in zip(p_jac, rhs_g1))
+    g2_gen = cvo.g2_to_device([hm.G2_GEN] * v, batch=True)
+    g2_all = tuple(jnp.concatenate([a, b], axis=-1) for a, b in zip(lhs_g2, g2_gen))
+
+    (g1x, g1y), g1inf = cvo.G1.to_affine(g1_all)
+    (g2x, g2y), g2inf = cvo.G2.to_affine(g2_all)
+    out = devpair.pairing((g1x, g1y), g1inf, (g2x, g2y), g2inf)
+
+    # stack the fp12 coefficient tree -> (L, 2, 3, 2, 2V); compare lane i vs V+i
+    flat = jnp.stack([jnp.stack(c6, axis=2) for c6 in out], axis=3)
+    eq = jnp.all(flat[..., :v] == flat[..., v:], axis=tuple(range(flat.ndim - 1)))
+    return [bool(b) for b in np.asarray(eq)]

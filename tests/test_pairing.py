@@ -84,3 +84,23 @@ def test_constant_polynomial_verifies(setup6):
     proof = ev.generate_proof(p, setup6)
     assert proof.is_infinity()
     assert ev.verify_proof(proof, c, setup6)
+
+
+@pytest.mark.slow
+def test_verify_proofs_batch(setup6, rng):
+    from kzg_tpu.polynomial import verify_proofs_batch
+
+    items = []
+    for _ in range(3):
+        p = Polynomial.from_ints([rng.randrange(hm.R) for _ in range(4)])
+        c = p.commit(setup6)
+        ev = p.evaluate(Scalar.from_i128(rng.randrange(2**20)))
+        proof = ev.generate_proof(p, setup6)
+        items.append((proof, c, ev))
+    proofs = [i[0] for i in items]
+    cs = [i[1] for i in items]
+    evs = [i[2] for i in items]
+    assert verify_proofs_batch(proofs, cs, evs, setup6) == [True, True, True]
+    # corrupt the middle proof
+    proofs[1] = proofs[1].add(G1Point.from_i128(1))
+    assert verify_proofs_batch(proofs, cs, evs, setup6) == [True, False, True]
