@@ -24,7 +24,7 @@ BASELINE_POINTS_PER_S = 10_000.0  # serial blst double-and-add commit loop
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
     import jax

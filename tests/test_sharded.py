@@ -43,6 +43,7 @@ def test_sharded_msm_equals_single(mesh, srs, rng):
     assert cv.g1_from_device(sharded) == cv.g1_from_device(single)
 
 
+@pytest.mark.slow
 def test_sharded_msm_unaligned_batch(mesh, srs, rng):
     s, n, x, y = srs
     m = 13  # not a multiple of 8 — exercises zero-scalar padding
@@ -62,6 +63,7 @@ def test_sharded_evaluate(mesh, rng):
     assert FR.from_limbs(np.asarray(got)) == exp
 
 
+@pytest.mark.slow
 def test_sharded_setup(mesh):
     s = 987654321
     jac = sharded_setup_g1(mesh, jnp.asarray(FR.to_limbs(s)), 16)
@@ -69,6 +71,7 @@ def test_sharded_setup(mesh):
     assert pts == [hm.g1_mul(hm.G1_GEN, pow(s, k, hm.R)) for k in range(16)]
 
 
+@pytest.mark.slow
 def test_sharded_commit_and_prove(mesh, srs, rng):
     s, n, x, y = srs
     coeffs = [rng.randrange(hm.R) for _ in range(n)]
