@@ -219,8 +219,12 @@ def msm_pippenger_g1(pts_affine, scalars: jnp.ndarray, inf_mask=None, chunk: int
     # grouped: tuple (groups, L, B-1, wb) -> (L, B-1, 32)
     bs = tuple(jnp.moveaxis(g, 0, 2).reshape(FP.L, N_BUCKETS - 1, N_WINDOWS) for g in grouped)
 
-    # suffix-sum over buckets b = B-1 .. 1, batched over windows
-    rev_t = tuple(jnp.moveaxis(b[:, ::-1], 1, 0) for b in bs)  # (B-1, L, 32)
+    # suffix-sum over buckets b = B-1 .. 1, batched over windows.
+    # Pad the window axis to the fused-kernel threshold: 4x waste lanes, but
+    # each scan step becomes ~2 kernel launches instead of ~180 HLO ops.
+    wpad = 128
+    bs_p = tuple(jnp.pad(b, [(0, 0), (0, 0), (0, wpad - N_WINDOWS)]) for b in bs)
+    rev_t = tuple(jnp.moveaxis(b[:, ::-1], 1, 0) for b in bs_p)  # (B-1, L, wpad)
 
     def suffix_step(state, bucket_b):
         running, acc = state
@@ -228,22 +232,27 @@ def msm_pippenger_g1(pts_affine, scalars: jnp.ndarray, inf_mask=None, chunk: int
         acc = G1.add(acc, running)
         return (running, acc), None
 
-    zero_w = tuple(jnp.zeros((FP.L, N_WINDOWS), jnp.uint32) for _ in range(3))
+    zero_w = tuple(jnp.zeros((FP.L, wpad), jnp.uint32) for _ in range(3))
     (_, win_sums), _ = lax.scan(suffix_step, (zero_w, zero_w), rev_t)
+    win_sums = tuple(c[:, :N_WINDOWS] for c in win_sums)
 
-    # Horner combine over windows: R = ((S31 * 2^8 + S30) * 2^8 + ...) + S0
-    top = tuple(c[:, -1] for c in win_sums)
+    # Horner combine over windows: R = ((S31 * 2^8 + S30) * 2^8 + ...) + S0.
+    # Run on a 128-wide broadcast so the point ops stay in the fused kernels
+    # (wasted lanes, but ~9 launches per iteration instead of ~800 HLO ops).
+    top = tuple(jnp.broadcast_to(c[:, -1:], (FP.L, wpad)) for c in win_sums)
 
     def horner(w, acc):
         for _ in range(WINDOW_BITS):
             acc = G1.double(acc)
         s_w = tuple(
-            lax.dynamic_index_in_dim(c, N_WINDOWS - 1 - w, axis=-1, keepdims=False)
+            lax.dynamic_slice_in_dim(c, N_WINDOWS - 1 - w, 1, axis=-1)
             for c in win_sums
         )
+        s_w = tuple(jnp.broadcast_to(c, (FP.L, wpad)) for c in s_w)
         return G1.add(acc, s_w)
 
-    return lax.fori_loop(1, N_WINDOWS, horner, top)
+    out = lax.fori_loop(1, N_WINDOWS, horner, top)
+    return tuple(c[:, 0] for c in out)
 
 
 PIPPENGER_THRESHOLD = 128  # below this the batched ladder wins (less fixed cost)
