@@ -255,6 +255,310 @@ def msm_pippenger_g1(pts_affine, scalars: jnp.ndarray, inf_mask=None, chunk: int
     return tuple(c[:, 0] for c in out)
 
 
+# ---------------------------------------------------------------------------
+# Fixed-base MSM with precomputed window tables (prefix-sum bucket extraction)
+#
+# The SRS is fixed across commits, so the windows' 2^(16w) shifts can be baked
+# into precomputed point tables: table[w*n + i] = 2^(16w) * P_i. The MSM then
+# collapses to ONE 16-bit-window bucket pass over 16n (point, digit) pairs —
+# half the bucket-accumulation work of the 8-bit/32-window online path, and no
+# 248-doubling Horner combine at the end.
+#
+# Bucket accumulation itself is a pure prefix-sum scan over the digit-sorted
+# pairs (no restart logic): the bucket sum for digit b is the DIFFERENCE of
+# global prefix sums V_b - V_{b-1} at the last position of each digit class
+# (group subtraction = add of the negated point, and an empty bucket yields
+# V_b == V_{b-1} whose difference is the identity automatically). Chunked
+# scan keeps the work at 16n adds while the sequential depth drops to m steps
+# (~128-512); per-chunk prefixes are globalized with a log-depth Hillis-Steele
+# exclusive scan over the C chunk totals.
+#
+# The weighted bucket reduction sum_b b*S_b (the classic 2^16-step suffix
+# scan) is done in log depth: split b = 2^h*u + v, reduce the (u, v) grid
+# along each axis with work-efficient halving trees, and finish with two
+# 2^h-element suffix-weighted sums (Hillis-Steele) — ~40 wide launches total.
+# ---------------------------------------------------------------------------
+
+FB_WINDOW_BITS = 16
+FB_WINDOWS = 16  # 256 / FB_WINDOW_BITS
+# below this the per-MSM bucket-stage overhead (~B + extraction work,
+# independent of n) outweighs the halved scan work of the 16-bit windows
+FIXED_BASE_THRESHOLD = 16384
+
+
+def _shift_points(pts, d: int, axis: int):
+    """Shift point lanes by d along axis (positive = toward higher indices),
+    filling vacated lanes with the identity (all-zero coords)."""
+    n = pts[2].shape[axis]
+
+    def sh(c):
+        pad = [(0, 0)] * c.ndim
+        pad[axis] = (d, 0) if d > 0 else (0, -d)
+        padded = jnp.pad(c, pad)
+        start = 0 if d > 0 else -d
+        return lax.slice_in_dim(padded, start, start + n, axis=axis)
+
+    return tuple(sh(c) for c in pts)
+
+
+def _hs_scan_points(pts, axis: int, reverse: bool = False, exclusive: bool = False):
+    """Hillis-Steele prefix (or suffix) sums of points along axis.
+
+    ONE fori_loop whose body is a single batched add with a dynamic roll
+    (constant trace size — an unrolled log-N chain of G1 adds makes XLA
+    compile time explode). Rolled-around lanes are masked to the identity."""
+    n = pts[2].shape[axis]
+    if n == 1:
+        return _shift_points(pts, 1, axis) if exclusive else pts
+    levels = (n - 1).bit_length()
+    iota = lax.broadcasted_iota(jnp.uint32, pts[2].shape[G1._cdim():], axis - G1._cdim())
+
+    def body(r, acc):
+        shift = jnp.uint32(1) << r.astype(jnp.uint32)
+        sgn = -1 if reverse else 1
+        rolled = tuple(
+            jnp.roll(c, sgn * shift.astype(jnp.int32), axis=axis) for c in acc
+        )
+        valid = (iota < n - shift) if reverse else (iota >= shift)
+        partner = G1.select(valid, rolled, tuple(jnp.zeros_like(c) for c in rolled))
+        return G1.add(acc, partner)
+
+    out = lax.fori_loop(0, levels, body, pts)
+    if exclusive:
+        out = _shift_points(out, -1 if reverse else 1, axis)
+    return out
+
+
+def _tree_reduce_hybrid(pts, axis: int, presteps: int = 3):
+    """Axis tree-sum: `presteps` unrolled halving levels (work-efficient, tiny
+    trace) then one masked fori tree for the rest (constant trace size)."""
+    for _ in range(presteps):
+        n = pts[2].shape[axis]
+        if n <= 2:
+            break
+        if n % 2:
+            pts = tuple(
+                jnp.pad(c, [(0, 0)] * axis + [(0, 1)] + [(0, 0)] * (c.ndim - axis - 1))
+                for c in pts
+            )
+            n += 1
+        half = n // 2
+        lo = tuple(lax.slice_in_dim(c, 0, half, axis=axis) for c in pts)
+        hi = tuple(lax.slice_in_dim(c, half, n, axis=axis) for c in pts)
+        pts = G1.add(lo, hi)
+    return tree_reduce(G1, pts, axis=axis)
+
+
+def _suffix_weighted_points(pts, axis: int):
+    """sum_k k * P_k along axis (length K), via suffix sums:
+    T_j = sum_{k>=j} P_k, then sum_j T_j = sum_k (k+1) P_k, so the answer is
+    (tree-sum of T) - T_0. Log-depth, work K log K on <=K lanes."""
+    T = _hs_scan_points(pts, axis, reverse=True)
+    total = _tree_reduce_hybrid(T, axis, presteps=0)  # sum_j T_j
+    t0 = tuple(lax.index_in_dim(c, 0, axis=axis, keepdims=False) for c in T)
+    return G1.add(total, G1.neg(t0))
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _advance_window_jit(x, y, z, window_bits: int):
+    """One window shift: 2^window_bits * P for every lane (fori of doubles)."""
+    return lax.fori_loop(0, window_bits, lambda _, p: G1.double(p), (x, y, z))
+
+
+@jax.jit
+def _tables_to_affine_jit(jx, jy, jz):
+    (tx, ty), _inf = G1.to_affine((jx, jy, jz))
+    return tx, ty
+
+
+def _build_tables(x, y, window_bits: int):
+    """windows-1 reuses of ONE small jitted window-advance program, then
+    per-window reuses of ONE jitted Jacobian->affine conversion.
+
+    The tunneled backend compiles ahead-of-time with cost (and memory) roughly
+    proportional to program MLIR size — which scales with the number of fused
+    Pallas call sites, each inlining a full Montgomery-multiply kernel. One
+    giant fori-of-fori + whole-table program gets the compile helper
+    OOM-killed; many reuses of two small fixed-shape programs compile in
+    seconds and amortize perfectly."""
+    n2 = x.shape[1]
+    windows = 256 // window_bits
+    one = jnp.broadcast_to(jnp.asarray(FP.ONE_MONT)[:, None], (FP.L, n2))
+    cur = (x, y, one)
+    affs = [_tables_to_affine_jit(*cur)]
+    for _ in range(1, windows):
+        cur = _advance_window_jit(*cur, window_bits)
+        affs.append(_tables_to_affine_jit(*cur))
+    tx = jnp.concatenate([a[0] for a in affs], axis=1)  # index = w*n2 + i
+    ty = jnp.concatenate([a[1] for a in affs], axis=1)
+    return tx, ty
+
+
+def precompute_g1_tables(pts_affine, inf_mask=None, window_bits: int = FB_WINDOW_BITS):
+    """Build fixed-base window tables for msm_g1_fixed.
+
+    pts_affine: (x, y) canonical-Montgomery affine, shape (24, N).
+    Returns (tx, ty): (24, W*N2) with table[w*N2 + i] = 2^(window_bits*w)*P_i,
+    W = 256/window_bits and N2 the pow2-padded count (pad lanes hold the
+    generator; their digits are forced to 0 by msm_g1_fixed so they never
+    contribute). Lanes flagged in inf_mask are likewise replaced by the
+    generator. One-time cost per SRS: ~(256-window_bits) batched doublings +
+    one batched inversion.
+    """
+    x, y = pts_affine
+    n = x.shape[1]
+    n2 = 1 << max(6, (n - 1).bit_length())
+    from .curve import G1_GEN_DEV  # affine Montgomery generator constants
+
+    gx = jnp.broadcast_to(jnp.asarray(G1_GEN_DEV[0])[:, None], (FP.L, n2))
+    gy = jnp.broadcast_to(jnp.asarray(G1_GEN_DEV[1])[:, None], (FP.L, n2))
+    if n2 != n:
+        pad = [(0, 0), (0, n2 - n)]
+        real = (jnp.arange(n2) < n)[None]
+        x = jnp.where(real, jnp.pad(x, pad), gx)
+        y = jnp.where(real, jnp.pad(y, pad), gy)
+    if inf_mask is not None:
+        im = jnp.pad(jnp.asarray(inf_mask), (0, n2 - inf_mask.shape[0]))
+        x = jnp.where(im[None], gx, x)
+        y = jnp.where(im[None], gy, y)
+    return _build_tables(x, y, window_bits)
+
+
+def _fb_digits(scalars: jnp.ndarray, window_bits: int) -> jnp.ndarray:
+    """(16, N) standard-form limbs -> (W, N) window digits, LSW first."""
+    if window_bits == 16:
+        return scalars
+    if window_bits == 8:
+        return _scalar_digits(scalars)
+    raise ValueError("window_bits must be 8 or 16")
+
+
+# The fixed-base MSM runs as a SEQUENCE of small jitted stage programs with
+# Python-level glue rather than one fused program: the tunneled backend
+# compiles ahead-of-time with memory/latency that grows with program MLIR
+# size (every fused point-kernel call site inlines a full Montgomery-multiply
+# Pallas kernel), and a single whole-MSM program gets the compile helper
+# killed. Each stage below has at most ~3 point-kernel call sites and a fixed
+# shape per (n2, window_bits), so stages compile once and are reused.
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _fb_sort_jit(tx, ty, digits, nt: int, window_bits: int):
+    """Digits -> globally digit-sorted (point, digit) pairs. Data movement
+    only (sort + gathers) — no point kernels."""
+    windows = 256 // window_bits
+    P = windows * nt
+    flat = digits.reshape(P)  # pair (w, i) at index w*nt + i — matches tables
+    order = jnp.argsort(flat)
+    ds = flat[order]
+    return tx[:, order], ty[:, order], ds
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _fb_scan_jit(xs_s, ys_s, m: int):
+    """Chunked prefix-sum scan: ONE madd per step over C lanes. Returns the
+    per-chunk running prefixes, flattened to global positions (L, P)."""
+    P = xs_s.shape[1]
+    C = P // m
+    xs = jnp.moveaxis(xs_s.reshape(FP.L, C, m), 2, 0)  # (m, L, C)
+    ys = jnp.moveaxis(ys_s.reshape(FP.L, C, m), 2, 0)
+
+    def step(run, q):
+        nr = G1.madd(run, q)
+        return nr, nr
+
+    init = tuple(jnp.zeros((FP.L, C), jnp.uint32) for _ in range(3))
+    _, runs = lax.scan(step, init, (xs, ys))  # 3 x (m, L, C)
+    totals = tuple(r[-1] for r in runs)  # (L, C) chunk totals
+    runs_flat = tuple(jnp.moveaxis(r, 0, 2).reshape(FP.L, P) for r in runs)
+    return runs_flat, totals
+
+
+@jax.jit
+def _fb_offsets_jit(t0, t1, t2):
+    """Exclusive prefix sums of the chunk totals (ONE rolled add body)."""
+    return _hs_scan_points((t0, t1, t2), axis=1, exclusive=True)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _fb_extract_jit(runs_flat, off, ds, m: int, window_bits: int):
+    """Bucket sums from global prefix differences: S_b = V_b - V_{b-1} with
+    V_b the prefix sum at the last sorted position of digit <= b. Empty
+    buckets cancel to the identity automatically. Two point-add sites."""
+    B = 1 << window_bits
+    lpos = jnp.searchsorted(ds, jnp.arange(B, dtype=ds.dtype), side="right") - 1
+    valid = lpos >= 0
+    lc = jnp.maximum(lpos, 0).astype(jnp.int32)
+    U = tuple(r[:, lc] for r in runs_flat)  # within-chunk prefixes at l(b)
+    cidx = lc // m
+    O = tuple(o[:, cidx] for o in off)
+    V = G1.add(U, O)  # global prefix: sum of all pairs with digit <= b
+    V = G1.select(valid, V, G1.inf_like(V))
+    return G1.add(V, G1.neg(_shift_points(V, 1, axis=1)))  # S, (L, B)
+
+
+@jax.jit
+def _fb_grid_trees_jit(s0, s1, s2):
+    """A_u = sum_v S[u,v] and B_v = sum_u S[u,v] in ONE masked fori tree over
+    a stacked (L, 2, side, side) grid (single point-add site)."""
+    S = (s0, s1, s2)
+    B = S[2].shape[1]
+    h = (B.bit_length() - 1) // 2
+    side = 1 << h
+    Sg = tuple(c.reshape(c.shape[0], side, side) for c in S)
+    both = tuple(
+        jnp.stack([c, jnp.swapaxes(c, 1, 2)], axis=1) for c in Sg
+    )  # (L, 2, side, side): [0]=A-grid, [1]=B-grid
+    return tree_reduce(G1, both, axis=3)  # (L, 2, side)
+
+
+@jax.jit
+def _fb_suffix_weighted_jit(w0, w1, w2):
+    """sum_k k * W[:, j, k] for the stacked (L, 2, side) A/B rows."""
+    return _suffix_weighted_points((w0, w1, w2), axis=2)  # (L, 2)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _fb_combine_jit(v0, v1, v2, h: int):
+    """result = 2^h * ws[:,0] + ws[:,1], doublings on a 128-wide broadcast."""
+    ws = (v0, v1, v2)
+    wide = 128
+    acc = tuple(jnp.broadcast_to(c[:, 0:1], (c.shape[0], wide)) for c in ws)
+    acc = lax.fori_loop(0, h, lambda _, a: G1.double(a), acc)
+    wb = tuple(jnp.broadcast_to(c[:, 1:2], (c.shape[0], wide)) for c in ws)
+    out = G1.add(acc, wb)
+    return tuple(c[:, 0] for c in out)
+
+
+def msm_g1_fixed(tables, scalars, inf_mask=None, chunk: int | None = None,
+                 window_bits: int = FB_WINDOW_BITS):
+    """G1 MSM against precomputed fixed-base tables (precompute_g1_tables).
+
+    scalars: (16, N) standard-form Fr limbs — with the default 16-bit windows
+    the limbs ARE the window digits. Identical group result to msm_g1 on the
+    same points (the window shifts are baked into the tables)."""
+    tx, ty = tables
+    windows = 256 // window_bits
+    nt = tx.shape[1] // windows
+    n = scalars.shape[-1]
+    digits = _fb_digits(scalars, window_bits)
+    if inf_mask is not None:
+        digits = jnp.where(jnp.asarray(inf_mask)[None], 0, digits)
+    if n < nt:
+        digits = jnp.pad(digits, [(0, 0), (0, nt - n)])
+    P = windows * nt
+    m = chunk if chunk is not None else min(512, max(64, P // 4096))
+    m = min(m, P)
+
+    xs_s, ys_s, ds = _fb_sort_jit(tx, ty, digits, nt, window_bits)
+    runs_flat, totals = _fb_scan_jit(xs_s, ys_s, m)
+    off = _fb_offsets_jit(*totals)
+    S = _fb_extract_jit(runs_flat, off, ds, m, window_bits)
+    W = _fb_grid_trees_jit(*S)
+    ws = _fb_suffix_weighted_jit(*W)
+    return _fb_combine_jit(*ws, window_bits // 2)
+
+
 PIPPENGER_THRESHOLD = 128  # below this the batched ladder wins (less fixed cost)
 
 

@@ -171,8 +171,13 @@ class Polynomial:
 
         if isinstance(setup_artifacts, DeviceSRS):
             srs = setup_artifacts
-            px, py = srs.g1_x[:, :n], srs.g1_y[:, :n]
             mask = srs.g1_inf[:n] if srs.g1_inf is not None else None
+            if n >= msmops.FIXED_BASE_THRESHOLD:
+                # precomputed window tables: the SRS is fixed across commits
+                return G1Point(
+                    msmops.msm_g1_fixed(srs.fixed_tables(), scalars, inf_mask=mask)
+                )
+            px, py = srs.g1_x[:, :n], srs.g1_y[:, :n]
             return G1Point(msmops.msm_g1((px, py), scalars, inf_mask=mask))
         xs, ys, infs = [], [], []
         for art in setup_artifacts[:n]:

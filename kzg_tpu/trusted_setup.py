@@ -128,9 +128,23 @@ class DeviceSRS:
         self.g1_inf = g1_inf  # (n,) bool or None
         self.g2 = g2_points  # list[G2Point] (only [0], [1] are required)
         self.count = count
+        self._fb_tables = None
 
     def __len__(self) -> int:
         return self.count
+
+    def fixed_tables(self):
+        """Fixed-base window tables for the precomputed-MSM commit path
+        (ops.msm.precompute_g1_tables), built lazily and cached — the SRS is
+        fixed across commits, so the ~240 batched doublings amortize over
+        every subsequent commit/proof MSM."""
+        if self._fb_tables is None:
+            from .ops import msm as msmops
+
+            self._fb_tables = msmops.precompute_g1_tables(
+                (self.g1_x, self.g1_y), self.g1_inf
+            )
+        return self._fb_tables
 
     @classmethod
     def from_artifacts(cls, setup_artifacts) -> "DeviceSRS":

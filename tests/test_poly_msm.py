@@ -75,3 +75,29 @@ def test_msm_zero_scalars_and_tree_reduce(rng):
     got2 = cv.g1_from_device(msmops.tree_reduce(cv.G1, dev, axis=-1))
     exp = hm.g1_add(hm.g1_add(pts[0], pts[1]), pts[2])
     assert got2 == exp
+
+
+@pytest.mark.slow
+def test_msm_fixed_base_vs_oracle(rng):
+    """Precomputed-table MSM (8-bit windows for CPU-speed) vs exact oracle,
+    including edge scalars 0, 1, r-1 and a non-pow2 count."""
+    n = 37
+    ks = [rng.randrange(1, hm.R) for _ in range(n)]
+    scalars = [rng.randrange(hm.R) for _ in range(n)]
+    scalars[0], scalars[1], scalars[2] = 0, 1, hm.R - 1
+    pts = [hm.g1_mul(hm.G1_GEN, k) for k in ks]
+    px = jnp.asarray(cv.FP.many_to_limbs([p[0] for p in pts]))
+    py = jnp.asarray(cv.FP.many_to_limbs([p[1] for p in pts]))
+    tables = msmops.precompute_g1_tables((px, py), window_bits=8)
+    got = cv.g1_from_device(
+        msmops.msm_g1_fixed(tables, cv.fr_to_device(scalars, batch=True), window_bits=8)
+    )
+    exp = None
+    for s, p in zip(scalars, pts):
+        exp = hm.g1_add(exp, hm.g1_mul(p, s))
+    assert got == exp
+    # all-zero scalars -> infinity through the same tables
+    got0 = cv.g1_from_device(
+        msmops.msm_g1_fixed(tables, cv.fr_to_device([0] * n, batch=True), window_bits=8)
+    )
+    assert got0 is None
