@@ -31,7 +31,23 @@ _HALF_P_LIMBS = lb.int_to_limbs((hm.P - 1) // 2, FP.L)
 
 def parse_g1_compressed(blobs: list[bytes]):
     """Host-side parse: flags + x field elements -> (x std-limbs (24, n),
-    sign bits (n,), inf mask (n,)). Raises on malformed encodings."""
+    sign bits (n,), inf mask (n,)). Raises on malformed encodings.
+
+    Large batches route through the native codec runtime (native/kzg_host.cpp
+    via utils.native) — same validation rules, no Python-bignum loop; on any
+    native-side rejection we fall through to the Python path so error
+    messages stay identical."""
+    n = len(blobs)
+    if n >= 64 and all(len(b) == 48 for b in blobs):
+        from ..utils import native as nat
+
+        if nat.available():
+            try:
+                x, sign, inf = nat.g1_parse_batch(b"".join(bytes(b) for b in blobs), n)
+            except ValueError:
+                pass  # re-parse below for the precise SerializationError
+            else:
+                return jnp.asarray(x), jnp.asarray(sign), jnp.asarray(inf)
     xs, signs, infs = [], [], []
     for data in blobs:
         if len(data) != 48:
