@@ -457,18 +457,30 @@ def _fb_sort_jit(tx, ty, digits, nt: int, window_bits: int):
 @partial(jax.jit, static_argnums=(2,))
 def _fb_scan_jit(xs_s, ys_s, m: int):
     """Chunked prefix-sum scan: ONE madd per step over C lanes. Returns the
-    per-chunk running prefixes, flattened to global positions (L, P)."""
+    per-chunk running prefixes, flattened to global positions (L, P).
+
+    On TPU the whole scan runs as a single fused Pallas kernel (grid over
+    chunk-blocks x steps with the running prefix in VMEM scratch —
+    pallas_msm.scan_prefix_madd); the lax.scan path is the reference
+    implementation and the CPU/test path (identical results lane-for-lane)."""
     P = xs_s.shape[1]
     C = P // m
     xs = jnp.moveaxis(xs_s.reshape(FP.L, C, m), 2, 0)  # (m, L, C)
     ys = jnp.moveaxis(ys_s.reshape(FP.L, C, m), 2, 0)
 
-    def step(run, q):
-        nr = G1.madd(run, q)
-        return nr, nr
+    from .field import _use_pallas
 
-    init = tuple(jnp.zeros((FP.L, C), jnp.uint32) for _ in range(3))
-    _, runs = lax.scan(step, init, (xs, ys))  # 3 x (m, L, C)
+    if _use_pallas() and C >= 64:
+        from . import pallas_msm
+
+        runs = pallas_msm.scan_prefix_madd(xs, ys, m, blk=512)
+    else:
+        def step(run, q):
+            nr = G1.madd(run, q)
+            return nr, nr
+
+        init = tuple(jnp.zeros((FP.L, C), jnp.uint32) for _ in range(3))
+        _, runs = lax.scan(step, init, (xs, ys))  # 3 x (m, L, C)
     totals = tuple(r[-1] for r in runs)  # (L, C) chunk totals
     runs_flat = tuple(jnp.moveaxis(r, 0, 2).reshape(FP.L, P) for r in runs)
     return runs_flat, totals
@@ -509,7 +521,10 @@ def _fb_grid_trees_jit(s0, s1, s2):
     both = tuple(
         jnp.stack([c, jnp.swapaxes(c, 1, 2)], axis=1) for c in Sg
     )  # (L, 2, side, side): [0]=A-grid, [1]=B-grid
-    return tree_reduce(G1, both, axis=3)  # (L, 2, side)
+    # two unrolled halving levels first: the masked fori tree keeps full
+    # width at every level, so work-efficient presteps cut its cost 4x for
+    # the price of two extra point-kernel call sites in this program
+    return _tree_reduce_hybrid(both, axis=3, presteps=2)  # (L, 2, side)
 
 
 @jax.jit
@@ -547,7 +562,7 @@ def msm_g1_fixed(tables, scalars, inf_mask=None, chunk: int | None = None,
     if n < nt:
         digits = jnp.pad(digits, [(0, 0), (0, nt - n)])
     P = windows * nt
-    m = chunk if chunk is not None else min(512, max(64, P // 4096))
+    m = chunk if chunk is not None else min(512, max(64, P // 2048))
     m = min(m, P)
 
     xs_s, ys_s, ds = _fb_sort_jit(tx, ty, digits, nt, window_bits)
