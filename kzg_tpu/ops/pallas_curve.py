@@ -20,7 +20,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_field import MASK16, _carry_rows, _limbs_of, _sub_n_rows, mont_mul_block
+import os
+
+from .pallas_field import (
+    MASK16,
+    _carry_rows,
+    _carry_stack,
+    _const_col,
+    _limbs_of,
+    _shift_rows_down,
+    _sub_n_rows,
+    _sub_n_stack,
+    mont_mul_block,
+    mont_mul_stack,
+)
 from ..utils import hostmath as hm
 
 L = 24
@@ -29,12 +42,18 @@ _NP = (-pow(_P, -1, 1 << (16 * L))) % (1 << (16 * L))
 _N_LIMBS = _limbs_of(_P, L)
 _ONE_MONT = _limbs_of((1 << (16 * L)) % _P, L)
 
+# stacked (sublane-vectorized) field helpers are the default; the row-wise
+# originals remain as a reference/fallback via KZG_TPU_ROWWISE=1
+_ROWWISE = os.environ.get("KZG_TPU_ROWWISE") == "1"
+
 
 def _mul(a, b):
-    return mont_mul_block(a, b, _P, _NP, L)
+    if _ROWWISE:
+        return mont_mul_block(a, b, _P, _NP, L)
+    return mont_mul_stack(a, b, _P, _NP, L)
 
 
-def _add(a, b):
+def _add_rowwise(a, b):
     cols = [a[k] + b[k] for k in range(L)]
     rows, carry = _carry_rows(cols, L)
     diff, borrow = _sub_n_rows(rows, _N_LIMBS, L)
@@ -42,7 +61,16 @@ def _add(a, b):
     return jnp.stack([jnp.where(take, diff[k], rows[k]) for k in range(L)], axis=0)
 
 
-def _sub(a, b):
+def _add(a, b):
+    if _ROWWISE:
+        return _add_rowwise(a, b)
+    rows, carry = _carry_stack(a + b, L)
+    diff, borrow = _sub_n_stack(rows, _N_LIMBS, L)
+    take = jnp.logical_or(carry > 0, borrow == 0)
+    return jnp.where(take[None], diff, rows)
+
+
+def _sub_rowwise(a, b):
     # a - b: complement subtract; if it borrows, add N back
     comp = [(b[k] ^ 0xFFFF) for k in range(L)]
     cols = [a[k] + comp[k] for k in range(L)]
@@ -56,15 +84,28 @@ def _sub(a, b):
     )
 
 
+def _sub(a, b):
+    if _ROWWISE:
+        return _sub_rowwise(a, b)
+    one_r0 = _const_col([1] + [0] * (L - 1), a)
+    rows, carry = _carry_stack(a + (b ^ jnp.uint32(0xFFFF)) + one_r0, L)
+    borrowed = carry == 0
+    rows2, _ = _carry_stack(rows + _const_col(_N_LIMBS, a), L)
+    return jnp.where(borrowed[None], rows2, rows)
+
+
 def _dbl_f(a):
     return _add(a, a)
 
 
 def _is_zero(a):
-    z = a[0]
-    for k in range(1, L):
-        z = z | a[k]
-    return z == 0
+    if _ROWWISE:
+        z = a[0]
+        for k in range(1, L):
+            z = z | a[k]
+        return z == 0
+    # Mosaic lacks unsigned reductions; rows are < 2^16 so int32 is exact
+    return jnp.max(a.astype(jnp.int32), axis=0) == 0
 
 
 def _sel(mask, a, b):
@@ -185,6 +226,12 @@ def _run_point_kernel(args, which: str, block: int):
         grid=(B // block,),
         in_specs=[spec] * n_in,
         out_specs=[spec] * 3,
+        compiler_params=pltpu.CompilerParams(
+            # the stacked multiply keeps (L, L, block) outer-product halves
+            # plus 6-pass f32 dot buffers live; the 16M default scoped-VMEM
+            # cap is too small at block=1024
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(*args)
 
 

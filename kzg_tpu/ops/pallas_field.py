@@ -125,8 +125,134 @@ def mont_mul_block(a, b, modulus: int, n_prime: int, L: int):
     return jnp.stack(out, axis=0)
 
 
+# ---------------------------------------------------------------------------
+# Stacked (sublane-vectorized) formulation
+#
+# The row-wise helpers above express every limb operation on (T,) row slices:
+# each op occupies ONE sublane of the 8x128 VPU, wasting 7/8 of the machine,
+# and the schoolbook double loop issues ~1150 such row products per multiply.
+# The stacked helpers below keep whole (R, T) limb blocks as single 2-D
+# arrays: carries become static sublane shifts (pad/slice on axis 0), the
+# Kogge-Stone circuit runs on full blocks, and the schoolbook column
+# reduction becomes TWO constant-matrix matmuls on the MXU (the 16-bit
+# lo/hi product halves are exact in fp32: column sums stay < 2^22 < 2^24).
+# Same interfaces and bit-identical results; selected via KZG_TPU_ROWWISE=1
+# fallback (stacked is the default).
+# ---------------------------------------------------------------------------
+
+
+def _shift_rows_down(x, k: int):
+    """Row i -> row i+k (zeros enter at the top); static k, pad+slice only."""
+    if k == 0:
+        return x
+    R = x.shape[0]
+    return jnp.pad(x, ((k, 0),) + ((0, 0),) * (x.ndim - 1))[:R]
+
+
+def _carry_stack(cols, R: int):
+    """Stacked carry normalization: (R, T) columns < 2^32 -> (rows in
+    [0, 2^16), carry_out (T,)). Bit-identical to _carry_rows."""
+    s1 = (cols & MASK16) + _shift_rows_down(cols >> 16, 1)
+    c1 = cols[R - 1] >> 16
+    s2 = (s1 & MASK16) + _shift_rows_down(s1 >> 16, 1)
+    c2 = s1[R - 1] >> 16
+    g = s2 >> 16
+    p = ((s2 & MASK16) == MASK16).astype(jnp.uint32)
+    d = 1
+    while d < R:
+        g = g | (p & _shift_rows_down(g, d))
+        p = p & _shift_rows_down(p, d)
+        d *= 2
+    rows = (s2 + _shift_rows_down(g, 1)) & MASK16
+    carry = c1 + c2 + g[R - 1]
+    return rows, carry
+
+
+def _sub_n_stack(rows, n_limbs, L: int):
+    """rows - N via complement add; returns (diff rows, borrow_out in {0,1}).
+    Bit-identical to _sub_n_rows."""
+    ncomp = _const_col([v ^ 0xFFFF for v in n_limbs], rows)
+    one_r0 = _const_col([1] + [0] * (L - 1), rows)  # complement subtract's +1
+    cols = rows + ncomp + one_r0
+    s = (cols & MASK16) + _shift_rows_down(cols >> 16, 1)
+    c1 = cols[L - 1] >> 16
+    g = s >> 16
+    p = ((s & MASK16) == MASK16).astype(jnp.uint32)
+    d = 1
+    while d < L:
+        g = g | (p & _shift_rows_down(g, d))
+        p = p & _shift_rows_down(p, d)
+        d *= 2
+    diff = (s + _shift_rows_down(g, 1)) & MASK16
+    borrow = ((c1 + g[L - 1]) == 0).astype(jnp.uint32)
+    return diff, borrow
+
+
+def _const_col(values, like):
+    """Per-limb integer constant as an (R, *like.shape[1:]) array, built from
+    scalar fulls (Pallas kernels may not capture constant arrays)."""
+    return jnp.stack(
+        [jnp.full(like.shape[1:], np.uint32(v), jnp.uint32) for v in values], axis=0
+    )
+
+
+def _sel_matrices(L: int, out_len: int):
+    """fp32 selection matrices for the schoolbook column reduction, built
+    from 2-D iota (no captured constant arrays in Pallas kernels):
+    S_lo[k, i*L+j] = [i+j == k], S_hi[k, i*L+j] = [i+j+1 == k]."""
+    from jax import lax
+
+    r = lax.broadcasted_iota(jnp.int32, (out_len, L * L), 0)
+    c = lax.broadcasted_iota(jnp.int32, (out_len, L * L), 1)
+    ij = c // L + c % L
+    return (ij == r).astype(jnp.float32), (ij + 1 == r).astype(jnp.float32)
+
+
+def _mul_cols_stack(a, b, L: int, out_len: int):
+    """Schoolbook column sums on the MXU: one exact u32 outer product, 16-bit
+    lo/hi split (each half exact in fp32), two constant-matrix matmuls."""
+    T = a.shape[-1]
+    p = a[:, None, :] * b[None, :, :]  # (L, L, T), exact: operands < 2^16
+    # Mosaic has no direct u32<->f32 casts; both halves are < 2^16 so an
+    # int32 hop is exact in both directions
+    p_lo = (p & MASK16).astype(jnp.int32).astype(jnp.float32).reshape(L * L, T)
+    p_hi = (p >> 16).astype(jnp.int32).astype(jnp.float32).reshape(L * L, T)
+    s_lo, s_hi = _sel_matrices(L, out_len)
+    # HIGHEST precision: the default f32 matmul truncates inputs to bf16
+    # (8-bit mantissa), destroying the 16-bit product halves; the bf16x6
+    # decomposition is exact for integers < 2^24
+    hp = jax.lax.Precision.HIGHEST
+    cols = jnp.dot(s_lo, p_lo, preferred_element_type=jnp.float32, precision=hp)
+    cols = cols + jnp.dot(s_hi, p_hi, preferred_element_type=jnp.float32, precision=hp)
+    # column sums < 2*24*2^16 < 2^22: exact in fp32 and within int32 range
+    return cols.astype(jnp.int32).astype(jnp.uint32)
+
+
+def mont_mul_stack(a, b, modulus: int, n_prime: int, L: int):
+    """Fused Montgomery multiply on (L, T) blocks, sublane-vectorized.
+    Bit-identical results to mont_mul_block."""
+    N = _limbs_of(modulus, L)
+    NP = _limbs_of(n_prime, L)
+    t_cols = _mul_cols_stack(a, b, L, 2 * L)
+    t_rows, _ = _carry_stack(t_cols, 2 * L)
+    m_cols = _mul_cols_stack(t_rows[:L], _const_col(NP, a), L, L)
+    m_rows, _ = _carry_stack(m_cols, L)
+    u_cols = _mul_cols_stack(m_rows, _const_col(N, a), L, 2 * L)
+    s_cols = t_rows + u_cols
+    s_rows, carry = _carry_stack(s_cols, 2 * L)
+    hi = s_rows[L:]
+    diff, borrow = _sub_n_stack(hi, N, L)
+    take = jnp.logical_or(carry > 0, borrow == 0)
+    return jnp.where(take[None], diff, hi)
+
+
 def _mont_mul_kernel(a_ref, b_ref, o_ref, *, modulus: int, n_prime: int, L: int):
-    o_ref[:] = mont_mul_block(a_ref[:], b_ref[:], modulus, n_prime, L)
+    import os
+
+    if os.environ.get("KZG_TPU_ROWWISE") == "1":
+        o_ref[:] = mont_mul_block(a_ref[:], b_ref[:], modulus, n_prime, L)
+    else:
+        o_ref[:] = mont_mul_stack(a_ref[:], b_ref[:], modulus, n_prime, L)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
@@ -149,4 +275,5 @@ def mont_mul_pallas(a: jnp.ndarray, b: jnp.ndarray, modulus: int, n_prime: int,
             pl.BlockSpec((L, block), lambda i: (0, i)),
         ],
         out_specs=pl.BlockSpec((L, block), lambda i: (0, i)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(a, b)

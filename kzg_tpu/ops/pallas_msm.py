@@ -58,6 +58,7 @@ def scan_prefix_madd(xs, ys, m: int, blk: int = 512, interpret: bool = False):
         scratch_shapes=[pltpu.VMEM((L, blk), jnp.uint32)] * 3,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(xs, ys)
