@@ -41,14 +41,29 @@ def main() -> int:
     print(f"[bench] device: {dev.platform}:{dev.device_kind}", file=sys.stderr)
 
     # SRS-like points: s^k * G1 on device (one batched fixed-base ladder),
-    # then a batched Jacobian->affine conversion (single Fermat inversion per lane).
+    # then a batched Jacobian->affine conversion (single Fermat inversion per
+    # lane). The points are deterministic (fixed secret), so they are cached
+    # on disk: the SRS-generation compile is harness cost, not the metric,
+    # and the tunneled backend's cold compiles are minutes long.
+    import os
+    cache = os.path.expanduser(f"~/.cache/kzg_tpu_bench_srs_{n}.npz")
     t0 = time.time()
-    s_mont = jnp.asarray(FR.to_limbs(0x1CAFE_F00D_5EED))
-    pw_std = FR.from_mont(polyops.power_sequence(s_mont, n))
-    jac = cv.G1.mul_scalar_affine(cv.G1_GEN_DEV, pw_std)
-    (px, py), _inf = cv.G1.to_affine(jac)
-    px, py = jax.block_until_ready((px, py))
-    print(f"[bench] SRS generation ({n} pts): {time.time()-t0:.1f}s", file=sys.stderr)
+    if os.path.exists(cache):
+        d = np.load(cache)
+        px, py = jnp.asarray(d["px"]), jnp.asarray(d["py"])
+        print(f"[bench] SRS loaded from cache: {time.time()-t0:.1f}s", file=sys.stderr)
+    else:
+        s_mont = jnp.asarray(FR.to_limbs(0x1CAFE_F00D_5EED))
+        pw_std = FR.from_mont(polyops.power_sequence(s_mont, n))
+        jac = cv.G1.mul_scalar_affine(cv.G1_GEN_DEV, pw_std)
+        (px, py), _inf = cv.G1.to_affine(jac)
+        px, py = jax.block_until_ready((px, py))
+        print(f"[bench] SRS generation ({n} pts): {time.time()-t0:.1f}s", file=sys.stderr)
+        try:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            np.savez(cache, px=np.asarray(px), py=np.asarray(py))
+        except OSError:
+            pass
 
     rng = np.random.default_rng(0xB152381)
     sc_ints = [int.from_bytes(rng.bytes(32), "little") % hm.R for _ in range(n)]
@@ -57,10 +72,20 @@ def main() -> int:
     # Fixed-base precomputed tables: the SRS is fixed across commits, so the
     # per-SRS table build (one-time, reported separately) moves every
     # subsequent commit/proof MSM to the single-window 16-bit bucket pass.
+    tcache = os.path.expanduser(f"~/.cache/kzg_tpu_bench_tab_{n}.npz")
     t0 = time.time()
-    tables = jax.block_until_ready(msmops.precompute_g1_tables((px, py)))
-    print(f"[bench] fixed-base table precompute (one-time per SRS): "
-          f"{time.time()-t0:.1f}s", file=sys.stderr)
+    if os.path.exists(tcache):
+        d = np.load(tcache)
+        tables = (jnp.asarray(d["tx"]), jnp.asarray(d["ty"]))
+        print(f"[bench] tables loaded from cache: {time.time()-t0:.1f}s", file=sys.stderr)
+    else:
+        tables = jax.block_until_ready(msmops.precompute_g1_tables((px, py)))
+        print(f"[bench] fixed-base table precompute (one-time per SRS): "
+              f"{time.time()-t0:.1f}s", file=sys.stderr)
+        try:
+            np.savez(tcache, tx=np.asarray(tables[0]), ty=np.asarray(tables[1]))
+        except OSError:
+            pass
 
     def run():
         out = msmops.msm_g1_fixed(tables, scalars)

@@ -473,7 +473,9 @@ def _fb_scan_jit(xs_s, ys_s, m: int):
     if _use_pallas() and C >= 64:
         from . import pallas_msm
 
-        runs = pallas_msm.scan_prefix_madd(xs, ys, m, blk=512)
+        # blk=2048 measured best on v5e (scan is lane-throughput-bound; the
+        # larger block shaves the residual per-step overhead)
+        runs = pallas_msm.scan_prefix_madd(xs, ys, m, blk=2048)
     else:
         def step(run, q):
             nr = G1.madd(run, q)

@@ -208,7 +208,7 @@ def _sel_matrices(L: int, out_len: int):
     return (ij == r).astype(jnp.float32), (ij + 1 == r).astype(jnp.float32)
 
 
-def _mul_cols_stack(a, b, L: int, out_len: int):
+def _mul_cols_dot(a, b, L: int, out_len: int):
     """Schoolbook column sums on the MXU: one exact u32 outer product, 16-bit
     lo/hi split (each half exact in fp32), two constant-matrix matmuls."""
     T = a.shape[-1]
@@ -226,6 +226,52 @@ def _mul_cols_stack(a, b, L: int, out_len: int):
     cols = cols + jnp.dot(s_hi, p_hi, preferred_element_type=jnp.float32, precision=hp)
     # column sums < 2*24*2^16 < 2^22: exact in fp32 and within int32 range
     return cols.astype(jnp.int32).astype(jnp.uint32)
+
+
+def _pad_rows_to(x, k: int, h: int):
+    """Row j -> row j+k, zero-padded/truncated to h rows (static shapes)."""
+    R = x.shape[0]
+    if k > 0:
+        x = jnp.pad(x, ((k, 0),) + ((0, 0),) * (x.ndim - 1))
+        R += k
+    if R < h:
+        x = jnp.pad(x, ((0, h - R),) + ((0, 0),) * (x.ndim - 1))
+    elif R > h:
+        x = x[:h]
+    return x
+
+
+def _mul_cols_stack(a, b, L: int, out_len: int):
+    """Schoolbook column sums via a log-depth merge tree of statically
+    shifted plane adds — pure u32 (no MXU, no float converts).
+
+    The outer product p[i, j] = a_i * b_j contributes its 16-bit lo half to
+    column i+j and its hi half to column i+j+1. Each row-plane p[i] (indexed
+    by j) is therefore a (L, T) block whose column offset is i (lo) or i+1
+    (hi); summing all 2L planes with their offsets yields the column sums.
+    Pairwise merging keeps every add full-width while the plane count
+    halves each level: ~2L plane-adds total instead of L^2 row operations.
+    Column sums stay < 2*L*2^16 < 2^22, far under u32."""
+    p = a[:, None, :] * b[None, :, :]  # (L, L, T), exact: operands < 2^16
+    planes = []
+    for i in range(L):
+        planes.append(((p[i] & MASK16)[: out_len - i], i))
+        if i + 1 < out_len:
+            planes.append(((p[i] >> 16)[: out_len - i - 1], i + 1))
+    planes.sort(key=lambda t: t[1])  # neighbors differ by <= 1 in offset
+    while len(planes) > 1:
+        nxt = []
+        for k in range(0, len(planes) - 1, 2):
+            pa, oa = planes[k]
+            pb, ob = planes[k + 1]
+            d = ob - oa
+            h = min(out_len - oa, max(pa.shape[0], pb.shape[0] + d))
+            nxt.append((_pad_rows_to(pa, 0, h) + _pad_rows_to(pb, d, h), oa))
+        if len(planes) % 2:
+            nxt.append(planes[-1])
+        planes = nxt
+    arr, off = planes[0]
+    return _pad_rows_to(arr, off, out_len)
 
 
 def mont_mul_stack(a, b, modulus: int, n_prime: int, L: int):
