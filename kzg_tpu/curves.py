@@ -34,9 +34,12 @@ class _PointBase:
     @classmethod
     def from_scalar(cls, scalar: Scalar):
         """scalar * generator — the reference's 256-bit fixed-base mult
-        (src/curves.rs:50-61 / 225-236)."""
+        (src/curves.rs:50-61 / 225-236), via the precomputed generator window
+        tables (ops.genmul: 32 gathers + log-depth adds, not a 256-step ladder)."""
+        from .ops import genmul
+
         k = scalar.std_limbs()
-        return cls(cls._curve.mul_scalar_affine(cls._gen_dev, k))
+        return cls(genmul.mul_gen_auto(cls._curve, k))
 
     @classmethod
     def from_i128(cls, value: int):

@@ -38,12 +38,17 @@ class SetupArtifact:
         return cls(g1=G1Point.from_json(data["g1"]), g2=G2Point.from_json(data["g2"]))
 
 
-def generate_setup(secret: Scalar, count: int, chunk: int = 1024) -> list[SetupArtifact]:
+def generate_setup(secret: Scalar, count: int, chunk: int = 8192) -> list[SetupArtifact]:
     """[{s^k G1, s^k G2} for k in 0..count-1] as batched device computation.
 
-    Chunked so arbitrarily large ceremonies stream through fixed-size device
-    ladders (one G1 + one G2 fixed-base batched mult per chunk).
+    The s^k ladder is one parallel-prefix scan; the point mults use the
+    precomputed generator window tables (ops.genmul — ~32 gathers + a
+    log-depth add tree per point instead of the reference's 256-step
+    double-and-add per point, src/trusted_setup.rs:54-72). Chunked so
+    arbitrarily large ceremonies stream through fixed-size device programs.
     """
+    from .ops import genmul
+
     if count <= 0:
         return []
     out: list[SetupArtifact] = [
@@ -52,14 +57,14 @@ def generate_setup(secret: Scalar, count: int, chunk: int = 1024) -> list[SetupA
     if count == 1:
         return out
 
-    # s^1 .. s^(count-1) via parallel prefix, then chunked fixed-base MSM ladders.
+    # s^1 .. s^(count-1) via parallel prefix, then chunked generator-table mults.
     pw = polyops.power_sequence(secret.mont, count)  # (16, count), Montgomery
     std = FR.from_mont(pw)  # standard-form exponent limbs
     for lo in range(1, count, chunk):
         hi = min(lo + chunk, count)
         ks = std[:, lo:hi]
-        g1 = cv.G1.mul_scalar_affine(cv.G1_GEN_DEV, ks)
-        g2 = cv.G2.mul_scalar_affine(cv.G2_GEN_DEV, ks)
+        g1 = genmul.mul_g1_gen(ks)
+        g2 = genmul.mul_g2_gen(ks)
         g1_aff = cv.g1_from_device(g1)
         g2_aff = cv.g2_from_device(g2)
         for p1, p2 in zip(g1_aff, g2_aff):
@@ -98,11 +103,13 @@ class SetupArtifactsGenerator:
             return
         n = self._chunk
         # powers s^k0 .. s^(k0+n-1) = s^k0 * [s^0 .. s^(n-1)]
+        from .ops import genmul
+
         pw = polyops.power_sequence(self.secret.mont, n)
         pw = FR.mul(pw, self._power.mont[:, None])
         std = FR.from_mont(pw)
-        g1 = cv.G1.mul_scalar_affine(cv.G1_GEN_DEV, std)
-        g2 = cv.G2.mul_scalar_affine(cv.G2_GEN_DEV, std)
+        g1 = genmul.mul_g1_gen(std)
+        g2 = genmul.mul_g2_gen(std)
         for p1, p2 in zip(cv.g1_from_device(g1), cv.g2_from_device(g2)):
             self._buf.append(SetupArtifact(g1=G1Point.from_affine(p1), g2=G2Point.from_affine(p2)))
         self._power = Scalar._from_mont(FR.mul(pw[:, -1], self.secret.mont))
@@ -165,9 +172,12 @@ class DeviceSRS:
         return cls(g1_x, g1_y, inf, g2s, len(setup_artifacts))
 
     @classmethod
-    def load(cls, path: str) -> "DeviceSRS":
+    def load(cls, path: str, subgroup_check: bool = True) -> "DeviceSRS":
         """Bulk-load setup.json: G1 points decompressed in ONE device batch
-        (host sqrt per point would take minutes at 2^20 scale)."""
+        (host sqrt per point would take minutes at 2^20 scale). Subgroup
+        membership is checked by default — a malicious setup.json with points
+        outside the r-order subgroup is rejected, matching the per-point path
+        (utils.hostmath.g1_decompress)."""
         import json
 
         import jax.numpy as jnp
@@ -177,7 +187,9 @@ class DeviceSRS:
 
         with open(path) as f:
             raw = json.load(f)
-        jac = codec.g1_decompress_batch([bytes(a["g1"]) for a in raw])
+        jac = codec.g1_decompress_batch(
+            [bytes(a["g1"]) for a in raw], subgroup_check=subgroup_check
+        )
         (x, y), inf = cv.G1.to_affine(jac)
         g2s = [G2Point.from_json(a["g2"]) for a in raw[:2]]
         any_inf = bool(jnp.any(inf))
