@@ -142,9 +142,15 @@ def miller_loop(p_affine, q_affine):
     return f
 
 
+@jax.jit
 def _exp_by_z(f):
     """f^z for the BLS parameter z = -|x| on a cyclotomic element: square-and-
-    multiply over the 6 set bits of |x|, then conjugate (cyclotomic inverse)."""
+    multiply over the 6 set bits of |x|, then conjugate (cyclotomic inverse).
+
+    Jitted standalone: the hard part calls it FIVE times, and as a separate
+    program it compiles once and is reused (one inlined mega-program was the
+    single largest compile in the framework — XLA:CPU codegen and the TPU AOT
+    helper both scale superlinearly with module size)."""
     nbits = hm.BLS_X.bit_length()
 
     def body(j, acc):
@@ -154,6 +160,31 @@ def _exp_by_z(f):
 
     out = lax.fori_loop(0, nbits - 1, body, f)
     return fp12.conj(out)  # z < 0
+
+
+@jax.jit
+def _final_exp_easy(f):
+    """Easy part (p^6-1)(p^2+1): conj/inv/frobenius -> cyclotomic element."""
+    fc = fp12.conj(f)
+    fi = fp12.inv(f)
+    f = fp12.mul(fc, fi)  # f^(p^6 - 1)
+    return fp12.mul(fp12.frobenius(f, 2), f)  # ^(p^2 + 1)
+
+
+@jax.jit
+def _mul_conj(a, b):
+    return fp12.mul(a, fp12.conj(b))
+
+
+@jax.jit
+def _mul_frob1(a, b):
+    return fp12.mul(a, fp12.frobenius(b, 1))
+
+
+@jax.jit
+def _g4_combine(g3zz, g3, f):
+    g4 = fp12.mul(fp12.mul(g3zz, fp12.frobenius(g3, 2)), fp12.conj(g3))
+    return fp12.mul(g4, fp12.mul(fp12.square(f), f))  # * f^3
 
 
 def final_exponentiation(f):
@@ -167,30 +198,37 @@ def final_exponentiation(f):
     pairing-equality check is unaffected as long as both sides use the same
     convention (they do: this is the only pairing in the framework, and
     pairing values never serialize into artifacts).
-    """
-    fc = fp12.conj(f)
-    fi = fp12.inv(f)
-    f = fp12.mul(fc, fi)  # f^(p^6 - 1)
-    f = fp12.mul(fp12.frobenius(f, 2), f)  # ^(p^2 + 1); now cyclotomic
 
-    g1 = fp12.mul(_exp_by_z(f), fp12.conj(f))  # f^(z-1)
-    g2 = fp12.mul(_exp_by_z(g1), fp12.conj(g1))  # f^((z-1)^2)
-    g3 = fp12.mul(_exp_by_z(g2), fp12.frobenius(g2, 1))  # ^(z+p)
-    g4 = fp12.mul(
-        fp12.mul(_exp_by_z(_exp_by_z(g3)), fp12.frobenius(g3, 2)), fp12.conj(g3)
-    )  # ^(z^2+p^2-1)
-    return fp12.mul(g4, fp12.mul(fp12.square(f), f))  # * f^3
+    Composed from small jitted programs (not one inlined trace): the five
+    z-exponentiations share ONE compiled program per batch shape.
+    """
+    f = _final_exp_easy(f)
+    g1 = _mul_conj(_exp_by_z(f), f)  # f^(z-1)
+    g2 = _mul_conj(_exp_by_z(g1), g1)  # f^((z-1)^2)
+    g3 = _mul_frob1(_exp_by_z(g2), g2)  # ^(z+p)
+    return _g4_combine(_exp_by_z(_exp_by_z(g3)), g3, f)  # ^(z^2+p^2-1) * f^3
 
 
 @jax.jit
-def pairing(p_affine, p_inf, q_affine, q_inf):
-    """Reduced optimal ate pairing, batched. `p_inf`/`q_inf` mask infinity
-    lanes (result 1, matching blst). BLS x < 0: Miller value conjugated."""
-    f = miller_loop(p_affine, q_affine)
-    f = fp12.conj(f)  # negative BLS parameter
-    out = final_exponentiation(f)
+def _miller_conj(p_affine, q_affine):
+    return fp12.conj(miller_loop(p_affine, q_affine))  # negative BLS parameter
+
+
+@jax.jit
+def _mask_trivial(out, p_inf, q_inf):
     triv = jnp.logical_or(p_inf, q_inf)
     return fp12.select(triv, fp12.one_like(out), out)
+
+
+def pairing(p_affine, p_inf, q_affine, q_inf):
+    """Reduced optimal ate pairing, batched. `p_inf`/`q_inf` mask infinity
+    lanes (result 1, matching blst). BLS x < 0: Miller value conjugated.
+
+    Composed from separately-jitted stages (Miller loop, shared z-exponent
+    program, small combines) — ~same runtime, a fraction of the compile."""
+    f = _miller_conj(p_affine, q_affine)
+    out = final_exponentiation(f)
+    return _mask_trivial(out, p_inf, q_inf)
 
 
 def pairing_points(p1, p2):
