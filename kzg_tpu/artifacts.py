@@ -24,6 +24,9 @@ ARTIFACTS_FOLDER_PATH = "./artifacts"
 SETUP_ARTIFACTS_PATH = "./artifacts/setup.json"
 COMMITMENT_ARTIFACTS_PATH = "./artifacts/commitment.json"
 EVALUATION_ARTIFACTS_PATH = "./artifacts/evaluation.json"
+# TPU-native extension (batch opening): a JSON list of evaluation-artifact
+# objects, each entry byte-identical in layout to evaluation.json's object.
+EVALUATIONS_BATCH_PATH = "./artifacts/evaluations.json"
 
 
 def _dumps(obj) -> str:
@@ -78,11 +81,38 @@ def save_setup(artifacts: list[SetupArtifact], path: str = SETUP_ARTIFACTS_PATH)
     write_file(path, _dumps([a.to_json() for a in artifacts]))
 
 
+_BULK_LOAD_MIN = 64  # below this the per-point host path is cheaper than a launch
+
+
 def load_setup(path: str = SETUP_ARTIFACTS_PATH) -> list[SetupArtifact]:
     if not os.path.exists(path):
         raise CliError("Trusted setup artifacts have not been found, generate them beforehand.")
     with open(path) as f:
-        return [SetupArtifact.from_json(a) for a in json.load(f)]
+        raw = json.load(f)
+    if len(raw) < _BULK_LOAD_MIN:
+        return [SetupArtifact.from_json(a) for a in raw]
+    # Bulk path: device-batched G1/G2 decompression (per-point host sqrt takes
+    # minutes at 2^20 scale). Same validation as the per-point path, including
+    # the r-order subgroup checks.
+    from .curves import G1Point, G2Point
+    from .errors import SerializationError
+    from .ops import codec, curve as cv
+
+    for a in raw:
+        for key, ln in (("g1", 48), ("g2", 96)):
+            d = a[key]
+            if not isinstance(d, list) or len(d) != ln:
+                raise SerializationError(
+                    f"Invalid byte array, expected length {ln}, got {len(d) if isinstance(d, list) else type(d)}"
+                )
+    g1_jac = codec.g1_decompress_batch([bytes(a["g1"]) for a in raw], subgroup_check=True)
+    g2_jac = codec.g2_decompress_batch([bytes(a["g2"]) for a in raw], subgroup_check=True)
+    g1_aff = cv.g1_from_device(g1_jac)
+    g2_aff = cv.g2_from_device(g2_jac)
+    return [
+        SetupArtifact(g1=G1Point.from_affine(p1), g2=G2Point.from_affine(p2))
+        for p1, p2 in zip(g1_aff, g2_aff)
+    ]
 
 
 def save_commitment(artifact: CommitmentArtifact, path: str = COMMITMENT_ARTIFACTS_PATH):
@@ -105,3 +135,15 @@ def load_evaluation(path: str = EVALUATION_ARTIFACTS_PATH) -> EvaluationArtifact
         raise CliError("Evaluation artifact has not been found, generate it beforehand.")
     with open(path) as f:
         return EvaluationArtifact.from_json(json.load(f))
+
+
+def save_evaluations_batch(artifacts: list[EvaluationArtifact],
+                           path: str = EVALUATIONS_BATCH_PATH):
+    write_file(path, _dumps([a.to_json() for a in artifacts]))
+
+
+def load_evaluations_batch(path: str = EVALUATIONS_BATCH_PATH) -> list[EvaluationArtifact]:
+    if not os.path.exists(path):
+        raise CliError("Evaluation artifacts have not been found, generate them beforehand.")
+    with open(path) as f:
+        return [EvaluationArtifact.from_json(a) for a in json.load(f)]

@@ -45,12 +45,15 @@ def _load() -> ctypes.CDLL | None:
                 if lib.kzg_selftest() != 0:
                     raise OSError("kzg_host selftest failed")
                 lib.kzg_g1_parse_batch.restype = ctypes.c_long
+                lib.kzg_g2_parse_batch.restype = ctypes.c_long
                 lib.kzg_g1_decompress_batch.restype = ctypes.c_long
                 lib.kzg_g1_compress_batch.restype = ctypes.c_long
                 lib.kzg_fr_from_le_bytes_batch.restype = ctypes.c_long
                 lib.kzg_fr_to_le_bytes_batch.restype = ctypes.c_long
                 _LIB = lib
-            except OSError:
+            except (OSError, AttributeError):
+                # missing library, failed selftest, or a stale .so without a
+                # newer symbol — treat all as unavailable
                 _LIB = False
     return _LIB or None
 
@@ -83,6 +86,24 @@ def g1_parse_batch(blob: bytes, n: int):
     rc = lib.kzg_g1_parse_batch(_u8(data), ctypes.c_size_t(n), _u32(x), _u8(sign), _u8(inf))
     if rc != 0:
         raise ValueError(f"malformed compressed G1 point at index {rc - 1}")
+    return x, sign.astype(bool), inf.astype(bool)
+
+
+def g2_parse_batch(blob: bytes, n: int):
+    """96n compressed G2 bytes -> (x std-limbs (24, 2, n) u32, sign (n,),
+    inf (n,)). Component axis holds (c0, c1). Returns None if the native
+    library is unavailable; raises ValueError with the failing point index on
+    malformed input (same validation rules as ops/codec.parse_g2_compressed)."""
+    lib = _load()
+    if lib is None:
+        return None
+    data = np.frombuffer(blob, dtype=np.uint8)
+    x = np.empty((24, 2, n), dtype=np.uint32)
+    sign = np.empty(n, dtype=np.uint8)
+    inf = np.empty(n, dtype=np.uint8)
+    rc = lib.kzg_g2_parse_batch(_u8(data), ctypes.c_size_t(n), _u32(x), _u8(sign), _u8(inf))
+    if rc != 0:
+        raise ValueError(f"malformed compressed G2 point at index {rc - 1}")
     return x, sign.astype(bool), inf.astype(bool)
 
 

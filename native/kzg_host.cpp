@@ -398,6 +398,45 @@ void kzg_g1_on_curve_batch(const u32 *x_limbs, const u32 *y_limbs, const u8 *inf
   }
 }
 
+// Parse + validate n compressed G2 points (96B each, ZCash convention: x1
+// (imaginary) big-endian with flags in the top byte, then x0 big-endian —
+// mirroring the reference's blst_p2_uncompress byte order,
+// src/curves.rs:287-303). Outputs x as std-form (24, 2, n) u16-in-u32 limbs
+// (component axis in the middle: c0 rows first), sign bits, infinity mask.
+// Returns 0 on success, or 1-based index of the first malformed blob.
+long kzg_g2_parse_batch(const u8 *in, size_t n, u32 *x_limbs, u8 *sign, u8 *inf) {
+  ensure_consts();
+  for (size_t i = 0; i < n; ++i) {
+    const u8 *d = in + 96 * i;
+    u8 flags = d[0];
+    if (!(flags & FLAG_COMPRESSED)) return (long)(i + 1);
+    if (flags & FLAG_INFINITY) {
+      if (flags & FLAG_SIGN) return (long)(i + 1);
+      if (flags & 0x1F) return (long)(i + 1);
+      for (int j = 1; j < 96; ++j)
+        if (d[j]) return (long)(i + 1);
+      fp zero = {{0}};
+      fp_to_u16limbs(zero, x_limbs, 2 * n, i);          // c0 block
+      fp_to_u16limbs(zero, x_limbs + n, 2 * n, i);      // c1 block
+      sign[i] = 0;
+      inf[i] = 1;
+      continue;
+    }
+    u8 buf[48];
+    memcpy(buf, d, 48);
+    buf[0] = flags & 0x1F;
+    fp x1, x0;
+    if (!fp_from_be(buf, x1)) return (long)(i + 1);
+    if (!fp_from_be(d + 48, x0)) return (long)(i + 1);
+    // target layout (24, 2, n): limb k, component c, point i at k*2n + c*n + i
+    fp_to_u16limbs(x0, x_limbs, 2 * n, i);
+    fp_to_u16limbs(x1, x_limbs + n, 2 * n, i);
+    sign[i] = (flags & FLAG_SIGN) ? 1 : 0;
+    inf[i] = 0;
+  }
+  return 0;
+}
+
 // Fr codec: n 32-byte little-endian scalars -> (16, n) u16-in-u32 limbs.
 // No modular reduction (callers feed canonical bytes, matching the artifact
 // format); returns 0 always.

@@ -230,6 +230,78 @@ def test_g1_batch_decompression(rng):
             codec.g1_decompress_batch([bytes(bb)])
 
 
+def test_g2_batch_decompression(rng):
+    from kzg_tpu.ops import codec, curve as cv
+
+    ks = [rng.randrange(1, hm.R) for _ in range(5)]
+    pts = [hm.g2_mul(hm.G2_GEN, k) for k in ks] + [None]
+    blobs = [hm.g2_compress(p) for p in pts]
+    jac = codec.g2_decompress_batch(blobs, subgroup_check=True)
+    assert cv.g2_from_device(jac) == pts
+    with pytest.raises(Exception):
+        for tweak in range(1, 200):
+            bb = bytearray(blobs[0])
+            bb[95] = (bb[95] + tweak) % 256
+            codec.g2_decompress_batch([bytes(bb)])
+
+
+def _g1_point_outside_subgroup():
+    """A point on E(Fp) but outside the r-order subgroup (cofactor > 1, so a
+    random on-curve x is essentially never in G1)."""
+    x = 1
+    while True:
+        y = hm.fp_sqrt((x * x * x + hm.B_G1) % hm.P)
+        if y is not None and not hm.g1_in_subgroup((x, y)):
+            return (x, y)
+        x += 1
+
+
+def _g2_point_outside_subgroup():
+    x0 = 1
+    while True:
+        x = (x0, 0)
+        rhs = hm.fp2_add(hm.fp2_mul(hm.fp2_sq(x), x), hm.B_G2)
+        y = hm.fp2_sqrt(rhs)
+        if y is not None and not hm.g2_in_subgroup((x, y)):
+            return (x, y)
+        x0 += 1
+
+
+def test_bulk_decompression_rejects_out_of_subgroup():
+    from kzg_tpu.ops import codec
+
+    p1 = _g1_point_outside_subgroup()
+    blob1 = hm.g1_compress(p1)
+    codec.g1_decompress_batch([blob1], subgroup_check=False)  # on-curve: parses
+    with pytest.raises(Exception, match="subgroup"):
+        codec.g1_decompress_batch([blob1], subgroup_check=True)
+
+    p2 = _g2_point_outside_subgroup()
+    blob2 = hm.g2_compress(p2)
+    codec.g2_decompress_batch([blob2], subgroup_check=False)
+    with pytest.raises(Exception, match="subgroup"):
+        codec.g2_decompress_batch([blob2], subgroup_check=True)
+
+
+def test_device_srs_load_rejects_tampered_setup(small_setup, tmp_path, monkeypatch):
+    """A malicious setup.json whose G1 points leave the r-order subgroup must
+    be rejected on the bulk path (subgroup_check defaults on)."""
+    import json as _json
+
+    from kzg_tpu.trusted_setup import DeviceSRS
+
+    setup, _s = small_setup
+    monkeypatch.chdir(tmp_path)
+    art.save_setup(setup)
+    with open(art.SETUP_ARTIFACTS_PATH) as f:
+        raw = _json.load(f)
+    raw[1]["g1"] = list(hm.g1_compress(_g1_point_outside_subgroup()))
+    with open(art.SETUP_ARTIFACTS_PATH, "w") as f:
+        _json.dump(raw, f)
+    with pytest.raises(Exception, match="subgroup"):
+        DeviceSRS.load(art.SETUP_ARTIFACTS_PATH)
+
+
 def test_device_srs_commit_matches_artifacts(small_setup, tmp_path, monkeypatch, rng):
     from kzg_tpu.trusted_setup import DeviceSRS
 

@@ -70,6 +70,30 @@ def test_malformed_rejection():
         native.g1_parse_batch(bad3, 1)
 
 
+def test_g2_parse_matches_hostmath(rng):
+    ks = [rng.randrange(1, hm.R) for _ in range(6)]
+    pts = [hm.g2_mul(hm.G2_GEN, k) for k in ks] + [None]
+    blobs = [hm.g2_compress(p) for p in pts]
+    x, sign, inf = native.g2_parse_batch(b"".join(blobs), len(pts))
+    assert list(inf) == [p is None for p in pts]
+    for i, p in enumerate(pts):
+        if p is None:
+            assert not x[:, :, i].any() and not sign[i]
+            continue
+        x0 = sum(int(v) << (16 * k) for k, v in enumerate(x[:, 0, i]))
+        x1 = sum(int(v) << (16 * k) for k, v in enumerate(x[:, 1, i]))
+        assert (x0, x1) == p[0]
+        assert bool(sign[i]) == bool(blobs[i][0] & 0x20)
+    # malformed: x1 >= p
+    bad = bytes([0x80 | 0x1F]) + b"\xff" * 95
+    with pytest.raises(ValueError, match="index 0"):
+        native.g2_parse_batch(bad, 1)
+    # malformed infinity (nonzero payload)
+    bad2 = bytes([0x80 | 0x40]) + b"\x00" * 47 + b"\x01" + b"\x00" * 47
+    with pytest.raises(ValueError):
+        native.g2_parse_batch(bad2, 1)
+
+
 def test_fr_codec_round_trip(rng):
     vals = [0, 1, hm.R - 1] + [rng.randrange(hm.R) for _ in range(13)]
     blob = b"".join(v.to_bytes(32, "little") for v in vals)
