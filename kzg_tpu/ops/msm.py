@@ -454,6 +454,13 @@ def _fb_sort_jit(tx, ty, digits, nt: int, window_bits: int):
     return tx[:, order], ty[:, order], ds
 
 
+def _fb_runs_reshape(runs, m: int):
+    P = runs[0].shape[0] * runs[0].shape[2]
+    totals = tuple(r[-1] for r in runs)  # (L, C) chunk totals
+    runs_flat = tuple(jnp.moveaxis(r, 0, 2).reshape(FP.L, P) for r in runs)
+    return runs_flat, totals
+
+
 @partial(jax.jit, static_argnums=(2,))
 def _fb_scan_jit(xs_s, ys_s, m: int):
     """Chunked prefix-sum scan: ONE madd per step over C lanes. Returns the
@@ -483,9 +490,24 @@ def _fb_scan_jit(xs_s, ys_s, m: int):
 
         init = tuple(jnp.zeros((FP.L, C), jnp.uint32) for _ in range(3))
         _, runs = lax.scan(step, init, (xs, ys))  # 3 x (m, L, C)
-    totals = tuple(r[-1] for r in runs)  # (L, C) chunk totals
-    runs_flat = tuple(jnp.moveaxis(r, 0, 2).reshape(FP.L, P) for r in runs)
-    return runs_flat, totals
+    return _fb_runs_reshape(runs, m)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _fb_scan_fast_jit(xs_s, ys_s, m: int):
+    """Fast-path scan (TPU only): 11-mul madd steps without the inline
+    doubling, plus a scalar needs-double flag. The caller re-runs
+    _fb_scan_jit iff the flag is set (P == Q inside a prefix over distinct
+    table points — astronomically rare but adversarially possible)."""
+    from . import pallas_msm
+
+    P = xs_s.shape[1]
+    C = P // m
+    xs = jnp.moveaxis(xs_s.reshape(FP.L, C, m), 2, 0)  # (m, L, C)
+    ys = jnp.moveaxis(ys_s.reshape(FP.L, C, m), 2, 0)
+    runs, flag = pallas_msm.scan_prefix_madd_fast(xs, ys, m, blk=2048)
+    runs_flat, totals = _fb_runs_reshape(runs, m)
+    return runs_flat, totals, flag
 
 
 @jax.jit
@@ -564,16 +586,165 @@ def msm_g1_fixed(tables, scalars, inf_mask=None, chunk: int | None = None,
     if n < nt:
         digits = jnp.pad(digits, [(0, 0), (0, nt - n)])
     P = windows * nt
-    m = chunk if chunk is not None else min(512, max(64, P // 2048))
-    m = min(m, P)
+    m = fb_chunk_size(P, chunk)
 
     xs_s, ys_s, ds = _fb_sort_jit(tx, ty, digits, nt, window_bits)
-    runs_flat, totals = _fb_scan_jit(xs_s, ys_s, m)
+    from .field import _use_pallas
+
+    C = P // m
+    if _use_pallas() and C >= 64:
+        runs_flat, totals, flag = _fb_scan_fast_jit(xs_s, ys_s, m)
+        if int(flag) != 0:  # a lane hit P == Q: redo with the exact kernel
+            runs_flat, totals = _fb_scan_jit(xs_s, ys_s, m)
+    else:
+        runs_flat, totals = _fb_scan_jit(xs_s, ys_s, m)
     off = _fb_offsets_jit(*totals)
     S = _fb_extract_jit(runs_flat, off, ds, m, window_bits)
     W = _fb_grid_trees_jit(*S)
     ws = _fb_suffix_weighted_jit(*W)
     return _fb_combine_jit(*ws, window_bits // 2)
+
+
+def _fb_scan_traced(xs_s, ys_s, m: int):
+    """Fully-traced scan (no host sync) for use inside shard_map / enclosing
+    jit: on TPU, the fast 11-mul kernel with an in-graph lax.cond fallback to
+    the exact kernel (taken only if a lane hits P == Q); on CPU, lax.scan."""
+    P = xs_s.shape[1]
+    C = P // m
+    xs = jnp.moveaxis(xs_s.reshape(FP.L, C, m), 2, 0)  # (m, L, C)
+    ys = jnp.moveaxis(ys_s.reshape(FP.L, C, m), 2, 0)
+
+    from .field import _use_pallas
+
+    if _use_pallas() and C >= 64:
+        from . import pallas_msm
+
+        runs, flag = pallas_msm.scan_prefix_madd_fast(xs, ys, m, blk=2048)
+        runs = lax.cond(
+            flag > 0,
+            lambda: pallas_msm.scan_prefix_madd(xs, ys, m, blk=2048),
+            lambda: runs,
+        )
+    else:
+        def step(run, q):
+            nr = G1.madd(run, q)
+            return nr, nr
+
+        init = tuple(jnp.zeros((FP.L, C), jnp.uint32) for _ in range(3))
+        _, runs = lax.scan(step, init, (xs, ys))
+    return _fb_runs_reshape(runs, m)
+
+
+def fb_chunk_size(P: int, chunk: int | None = None) -> int:
+    """The scan chunk length m for a P-pair fixed-base pipeline (static)."""
+    m = chunk if chunk is not None else min(512, max(64, P // 2048))
+    return min(m, P)
+
+
+# ---------------------------------------------------------------------------
+# Batched fixed-base MSM: k independent MSMs against the SAME tables in ONE
+# bucket pass (the batch-opening shape: k quotient polynomials against one
+# SRS). Pairs carry a composite sort key j*B + digit so the single global
+# sort/scan/extract pipeline keeps the k MSMs' buckets separate; every stage
+# is the single-MSM stage with one extra batch axis. The digit-0 bucket of
+# each MSM absorbs the cross-MSM prefix garbage (weight 0 — never read).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _fbm_sort_jit(tx, ty, digits, nt: int, window_bits: int, k: int):
+    """digits (W, nt, k) -> globally key-sorted (point, key) pairs, key =
+    j * B + digit. Data movement only."""
+    windows = 256 // window_bits
+    B = 1 << window_bits
+    flat_d = digits.reshape(windows * nt, k)
+    keys = flat_d.astype(jnp.uint32) + jnp.uint32(B) * jnp.arange(k, dtype=jnp.uint32)[None, :]
+    keysf = keys.reshape(windows * nt * k)
+    order = jnp.argsort(keysf)
+    ks = keysf[order]
+    pt_idx = order // k  # pair (wi, j) at flat index wi*k + j -> table index wi
+    return tx[:, pt_idx], ty[:, pt_idx], ks
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _fbm_extract_jit(runs_flat, off, ks, m: int, window_bits: int, k: int):
+    """Bucket sums for all k MSMs from global prefix differences: (L, k, B)."""
+    B = 1 << window_bits
+    lpos = jnp.searchsorted(ks, jnp.arange(k * B, dtype=ks.dtype), side="right") - 1
+    valid = lpos >= 0
+    lc = jnp.maximum(lpos, 0).astype(jnp.int32)
+    U = tuple(r[:, lc] for r in runs_flat)
+    cidx = lc // m
+    O = tuple(o[:, cidx] for o in off)
+    V = G1.add(U, O)
+    V = G1.select(valid, V, G1.inf_like(V))
+    S = G1.add(V, G1.neg(_shift_points(V, 1, axis=1)))  # (L, k*B)
+    return tuple(c.reshape(FP.L, k, B) for c in S)
+
+
+@jax.jit
+def _fbm_grid_trees_jit(s0, s1, s2):
+    """Per-MSM A/B digit-grid reductions, batched over the MSM axis."""
+    S = (s0, s1, s2)
+    B = S[2].shape[2]
+    h = (B.bit_length() - 1) // 2
+    side = 1 << h
+    Sg = tuple(c.reshape(c.shape[0], c.shape[1], side, side) for c in S)
+    both = tuple(jnp.stack([c, jnp.swapaxes(c, 2, 3)], axis=2) for c in Sg)
+    return _tree_reduce_hybrid(both, axis=4, presteps=2)  # (L, k, 2, side)
+
+
+@jax.jit
+def _fbm_suffix_weighted_jit(w0, w1, w2):
+    return _suffix_weighted_points((w0, w1, w2), axis=3)  # (L, k, 2)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _fbm_combine_jit(v0, v1, v2, h: int):
+    """result_j = 2^h * ws[:, j, 0] + ws[:, j, 1] -> (L, k) triple."""
+    ws = (v0, v1, v2)
+    acc = tuple(c[:, :, 0] for c in ws)
+    acc = lax.fori_loop(0, h, lambda _, a: G1.double(a), acc)
+    return G1.add(acc, tuple(c[:, :, 1] for c in ws))
+
+
+def msm_g1_fixed_many(tables, scalars_many, inf_mask=None, chunk: int | None = None,
+                      window_bits: int = FB_WINDOW_BITS):
+    """k G1 MSMs against the same precomputed tables in ONE bucket pass.
+
+    scalars_many: (16, N, k) standard-form Fr limbs — column j is the scalar
+    vector of MSM j. Returns a Jacobian triple with batch shape (k,), each
+    lane bit-identical to msm_g1_fixed(tables, scalars_many[..., j])."""
+    tx, ty = tables
+    windows = 256 // window_bits
+    nt = tx.shape[1] // windows
+    n, k = scalars_many.shape[-2], scalars_many.shape[-1]
+    digits = _fb_digits(scalars_many, window_bits)  # (W, n, k)
+    if inf_mask is not None:
+        digits = jnp.where(jnp.asarray(inf_mask)[None, :, None], 0, digits)
+    if n < nt:
+        digits = jnp.pad(digits, [(0, 0), (0, nt - n), (0, 0)])
+    wnt = windows * nt  # power of two
+    P = wnt * k
+    m = chunk if chunk is not None else min(512, max(64, P // 2048))
+    m = 1 << (m.bit_length() - 1)  # power of two so m | wnt | P
+    m = min(m, wnt)
+
+    xs_s, ys_s, ks = _fbm_sort_jit(tx, ty, digits, nt, window_bits, k)
+    from .field import _use_pallas
+
+    C = P // m
+    if _use_pallas() and C >= 64:
+        runs_flat, totals, flag = _fb_scan_fast_jit(xs_s, ys_s, m)
+        if int(flag) != 0:
+            runs_flat, totals = _fb_scan_jit(xs_s, ys_s, m)
+    else:
+        runs_flat, totals = _fb_scan_jit(xs_s, ys_s, m)
+    off = _fb_offsets_jit(*totals)
+    S = _fbm_extract_jit(runs_flat, off, ks, m, window_bits, k)
+    W = _fbm_grid_trees_jit(*S)
+    ws = _fbm_suffix_weighted_jit(*W)
+    return _fbm_combine_jit(*ws, window_bits // 2)
 
 
 PIPPENGER_THRESHOLD = 128  # below this the batched ladder wins (less fixed cost)

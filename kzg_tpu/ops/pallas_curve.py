@@ -164,6 +164,42 @@ def _madd_pt(p, q_affine):
     return out
 
 
+def _madd_pt_fast(p, q_affine):
+    """madd-2007-bl WITHOUT the inline doubling fallback: 11 Fp muls instead
+    of 18. The P == Q lane (which needs a doubling) is astronomically rare in
+    an MSM prefix scan over distinct table points, so instead of computing the
+    double for every lane on every step, the kernel RETURNS a needs_double
+    mask; the caller re-runs the exact kernel (_madd_pt) iff any lane flags.
+    All cheap exceptional lanes (P == -Q -> infinity, P == inf -> Q) are
+    handled here, bit-identically to _madd_pt."""
+    X1, Y1, Z1 = p
+    X2, Y2 = q_affine
+    Z1Z1 = _mul(Z1, Z1)
+    U2 = _mul(X2, Z1Z1)
+    S2 = _mul(Y2, _mul(Z1, Z1Z1))
+    H = _sub(U2, X1)
+    I = _mul(_dbl_f(H), _dbl_f(H))
+    J = _mul(H, I)
+    r = _dbl_f(_sub(S2, Y1))
+    V = _mul(X1, I)
+    X3 = _sub(_sub(_mul(r, r), J), _dbl_f(V))
+    Y3 = _sub(_mul(r, _sub(V, X3)), _dbl_f(_mul(Y1, J)))
+    Z3 = _mul(_dbl_f(H), Z1)
+    out = (X3, Y3, Z3)
+
+    same_x = _is_zero(H)
+    same_y = _is_zero(_sub(S2, Y1))
+    z1_inf = _is_zero(Z1)
+    inf = tuple(jnp.zeros_like(X3) for _ in range(3))
+    out = _sel_pt(jnp.logical_and(same_x, ~same_y), inf, out)
+    one = jnp.stack(
+        [jnp.full_like(X2[0], np.uint32(_ONE_MONT[k])) for k in range(L)], axis=0
+    )
+    out = _sel_pt(z1_inf, (X2, Y2, one), out)
+    needs_double = jnp.logical_and(jnp.logical_and(same_x, same_y), ~z1_inf)
+    return out, needs_double
+
+
 def _add_pt(p, q):
     """add-2007-bl with exceptional lanes, identical to JacobianCurve.add."""
     X1, Y1, Z1 = p

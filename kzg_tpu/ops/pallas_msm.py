@@ -22,7 +22,29 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_curve import L, _madd_pt
+from .pallas_curve import L, _madd_pt, _madd_pt_fast
+
+
+def _scan_prefix_kernel_fast(
+    xs_ref, ys_ref, ox_ref, oy_ref, oz_ref, flag_ref, accx, accy, accz
+):
+    """Fast-path scan step: 11-mul madd without the inline doubling; any lane
+    that would need a doubling (P == Q, ~never) sets the per-(block, step)
+    flag and the caller re-runs the exact kernel."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        accx[...] = jnp.zeros_like(accx)
+        accy[...] = jnp.zeros_like(accy)
+        accz[...] = jnp.zeros_like(accz)
+
+    run = (accx[...], accy[...], accz[...])
+    q = (xs_ref[0], ys_ref[0])
+    (nx, ny, nz), needs_double = _madd_pt_fast(run, q)
+    accx[...], accy[...], accz[...] = nx, ny, nz
+    ox_ref[0], oy_ref[0], oz_ref[0] = nx, ny, nz
+    flag_ref[0, :] = needs_double.astype(jnp.uint32)
 
 
 def _scan_prefix_kernel(xs_ref, ys_ref, ox_ref, oy_ref, oz_ref, accx, accy, accz):
@@ -42,12 +64,41 @@ def _scan_prefix_kernel(xs_ref, ys_ref, ox_ref, oy_ref, oz_ref, accx, accy, accz
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def scan_prefix_madd_fast(xs, ys, m: int, blk: int = 512, interpret: bool = False):
+    """Fast-path variant of scan_prefix_madd: 11-mul madd steps, plus a
+    needs-double flag array (m, C). The caller must re-run scan_prefix_madd
+    iff any flag is set (results for non-flagged inputs are bit-identical)."""
+    C = xs.shape[2]
+    blk = min(blk, C)
+    while C % blk:
+        blk //= 2  # largest power-of-two block dividing the chunk count
+    spec = pl.BlockSpec((1, L, blk), lambda i, j: (j, 0, i))
+    fspec = pl.BlockSpec((1, blk), lambda i, j: (j, i))
+    out = pl.pallas_call(
+        _scan_prefix_kernel_fast,
+        grid=(C // blk, m),
+        in_specs=[spec, spec],
+        out_specs=[spec, spec, spec, fspec],
+        out_shape=[jax.ShapeDtypeStruct((m, L, C), jnp.uint32)] * 3
+        + [jax.ShapeDtypeStruct((m, C), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((L, blk), jnp.uint32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xs, ys)
+    return tuple(out[:3]), jnp.max(out[3])
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def scan_prefix_madd(xs, ys, m: int, blk: int = 512, interpret: bool = False):
     """xs, ys: (m, L, C) digit-sorted affine points (step-major). Returns the
     Jacobian prefix sums runs: 3 x (m, L, C)."""
     C = xs.shape[2]
     blk = min(blk, C)
-    assert C % blk == 0, "chunk count must be a block multiple"
+    while C % blk:
+        blk //= 2  # largest power-of-two block dividing the chunk count
     spec = pl.BlockSpec((1, L, blk), lambda i, j: (j, 0, i))
     out = pl.pallas_call(
         _scan_prefix_kernel,
