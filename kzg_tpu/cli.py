@@ -46,6 +46,14 @@ def build_parser() -> argparse.ArgumentParser:
         description="KZG polynomial commitments over BLS12-381, computed on TPU.",
     )
     p.add_argument("-d", "--debug", action="count", default=0, help="Turn debugging information on")
+    p.add_argument(
+        "--devices",
+        type=int,
+        default=1,
+        help="Shard the commitment/proof MSMs over the first N devices of a "
+        "jax.sharding mesh (0 = all available). Results are bit-identical to "
+        "the single-device path.",
+    )
     sub = p.add_subparsers(dest="command")
 
     sp = sub.add_parser(
@@ -68,22 +76,90 @@ def build_parser() -> argparse.ArgumentParser:
     ep = sub.add_parser(
         "evaluate",
         help="Evaluate the committed polynomial at an input point and generate the associated Kate proof.",
+        description="With several input points, all evaluations and opening proofs are "
+        "generated in one batched device program (one composite-key MSM bucket pass) "
+        "and written to './artifacts/evaluations.json'.",
     )
-    ep.add_argument("x", type=_i128, help="Input point")
+    ep.add_argument("x", type=_i128, nargs="+", help="Input point(s)")
 
-    sub.add_parser("verify-evaluation", help="Verify the previous evaluation with its proof")
+    vp = sub.add_parser("verify-evaluation", help="Verify the previous evaluation with its proof")
+    vp.add_argument(
+        "--all",
+        action="store_true",
+        help="Verify every proof in './artifacts/evaluations.json' (from a multi-point "
+        "evaluate) in one batched pairing program.",
+    )
     return p
 
 
 def cmd_trusted_setup(args) -> None:
     log.info("Starting the trusted setup ceremony")
     secret = secrets.token_bytes(32)  # 32 random BE bytes (src/main.rs:122-123)
-    setup = SetupArtifactsGenerator(secret).take(args.max_degree + 1)
+    if args.devices != 1:
+        setup = _trusted_setup_sharded(secret, args.max_degree + 1, args.devices)
+    else:
+        setup = SetupArtifactsGenerator(secret).take(args.max_degree + 1)
     art.save_setup(setup)
     log.info(
         'Trusted setup ceremony successfully performed. Artifacts have been written in "%s"',
         art.SETUP_ARTIFACTS_PATH,
     )
+
+
+def _trusted_setup_sharded(secret: bytes, count: int, n_devices: int):
+    """The powers-of-tau ceremony over the device mesh: the s^k G1 and s^k G2
+    point batches are sharded across chips (same generator-table kernels as
+    the single-chip path — bit-identical artifacts for the same secret)."""
+    from .curves import G1Point, G2Point
+    from .ops import curve as cv
+    from .parallel import sharded_setup_g1, sharded_setup_g2
+    from .trusted_setup import SetupArtifact
+
+    mesh = _make_mesh(n_devices)
+    s = Scalar.from_be_bytes(secret)
+    g1 = sharded_setup_g1(mesh, s.mont, count)
+    g2 = sharded_setup_g2(mesh, s.mont, count)
+    return [
+        SetupArtifact(g1=G1Point.from_affine(p1), g2=G2Point.from_affine(p2))
+        for p1, p2 in zip(cv.g1_from_device(g1), cv.g2_from_device(g2))
+    ]
+
+
+def _make_mesh(n_devices: int):
+    import jax
+
+    from .parallel import make_mesh
+
+    nd = len(jax.devices()) if n_devices == 0 else n_devices
+    if nd > len(jax.devices()):
+        raise CliError(
+            f"Requested {nd} devices but only {len(jax.devices())} are available"
+        )
+    return make_mesh(nd)
+
+
+def _commit_sharded(polynomial: Polynomial, setup, n_devices: int):
+    """Commitment MSM sharded over the device mesh (bit-identical result)."""
+    from .curves import G1Point
+    from .ops.field import FR
+    from .parallel import sharded_msm_g1
+    from .trusted_setup import DeviceSRS
+
+    from .errors import ProtocolError
+
+    if polynomial.degree() + 1 > len(setup):
+        raise ProtocolError(
+            "Setup does not allow for commitment generation of the polynomial. The polynomial degree is too high."
+        )
+    mesh = _make_mesh(n_devices)
+    srs = setup if isinstance(setup, DeviceSRS) else DeviceSRS.from_artifacts(setup)
+    n = polynomial.num_coefficients
+    if n == 0:
+        return G1Point.from_i128(0)
+    jac = sharded_msm_g1(
+        mesh, (srs.g1_x[:, :n], srs.g1_y[:, :n]), FR.from_mont(polynomial.coeffs_mont)
+    )
+    return G1Point(jac)
 
 
 def cmd_commit(args) -> None:
@@ -93,28 +169,69 @@ def cmd_commit(args) -> None:
         raise CliError(f"Only polynomials up to degree {args.max_degree} are supported")
     log.info('Starting to commit to the polynomial P(x) = "%s"', displayed)
     setup = art.load_setup()
-    commitment = polynomial.commit(setup)
+    if args.devices != 1:
+        commitment = _commit_sharded(polynomial, setup, args.devices)
+    else:
+        commitment = polynomial.commit(setup)
     art.save_commitment(art.CommitmentArtifact(polynomial=polynomial, commitment=commitment))
     log.info('Commitment to the polynomial "P(x) = %s" has been successfully generated.', displayed)
 
 
 def cmd_evaluate(args) -> None:
-    log.info('Starting to evaluate the committed polynomial at input point "x = %s"', args.x)
+    if len(args.x) > 1:
+        return _cmd_evaluate_batch(args)
+    x = args.x[0]
+    log.info('Starting to evaluate the committed polynomial at input point "x = %s"', x)
     setup = art.load_setup()
     commitment_artifact = art.load_commitment()
-    evaluation = commitment_artifact.polynomial.evaluate(Scalar.from_i128(args.x))
-    proof = evaluation.generate_proof(commitment_artifact.polynomial, setup)
+    evaluation = commitment_artifact.polynomial.evaluate(Scalar.from_i128(x))
+    if args.devices != 1:
+        quotient = commitment_artifact.polynomial.sub(
+            Polynomial.from_constant(evaluation.result)
+        ).divide_by_root(evaluation.point)
+        proof = _commit_sharded(quotient, setup, args.devices)
+    else:
+        proof = evaluation.generate_proof(commitment_artifact.polynomial, setup)
     art.save_evaluation(art.EvaluationArtifact(evaluation=evaluation, proof=proof))
     log.info(
         'Evaluation successful for polynomial: "P(x) = %s" at point "x = %s" with "P(%s) = %s"',
         commitment_artifact.polynomial,
-        args.x,
-        args.x,
+        x,
+        x,
         evaluation.result,
     )
 
 
+def _cmd_evaluate_batch(args) -> None:
+    """Batch opening: k evaluations + k proofs in one device program
+    (generate_proofs_batch), written to evaluations.json."""
+    from .polynomial import generate_proofs_batch
+
+    log.info(
+        "Starting to evaluate the committed polynomial at %d input points", len(args.x)
+    )
+    setup = art.load_setup()
+    commitment_artifact = art.load_commitment()
+    points = [Scalar.from_i128(x) for x in args.x]
+    evaluations, proofs = generate_proofs_batch(
+        commitment_artifact.polynomial, points, setup
+    )
+    art.save_evaluations_batch(
+        [art.EvaluationArtifact(evaluation=ev, proof=pf) for ev, pf in zip(evaluations, proofs)]
+    )
+    for x, ev in zip(args.x, evaluations):
+        log.info(
+            'Evaluation successful for polynomial: "P(x) = %s" at point "x = %s" with "P(%s) = %s"',
+            commitment_artifact.polynomial,
+            x,
+            x,
+            ev.result,
+        )
+
+
 def cmd_verify_evaluation(args) -> None:
+    if getattr(args, "all", False):
+        return _cmd_verify_evaluations_batch(args)
     log.info("Starting to verify the previous polynomial evaluation")
     setup = art.load_setup()
     commitment_artifact = art.load_commitment()
@@ -131,6 +248,37 @@ def cmd_verify_evaluation(args) -> None:
         evaluation_artifact.evaluation.point,
         evaluation_artifact.evaluation.result,
     )
+
+
+def _cmd_verify_evaluations_batch(args) -> None:
+    """Verify every proof of a multi-point evaluate in ONE batched pairing
+    program (2k pairings in a single device call)."""
+    from .polynomial import verify_proofs_batch
+
+    log.info("Starting to verify the previous polynomial evaluations")
+    setup = art.load_setup()
+    commitment_artifact = art.load_commitment()
+    evaluation_artifacts = art.load_evaluations_batch()
+    oks = verify_proofs_batch(
+        [a.proof for a in evaluation_artifacts],
+        [commitment_artifact.commitment] * len(evaluation_artifacts),
+        [a.evaluation for a in evaluation_artifacts],
+        setup,
+    )
+    if not all(oks):
+        bad = [str(a.evaluation.point) for a, ok in zip(evaluation_artifacts, oks) if not ok]
+        raise CliError(
+            "The proof associated to the evaluation is incorrect. "
+            f"(failing points: {', '.join(bad)})"
+        )
+    for a in evaluation_artifacts:
+        log.info(
+            'Successfully verified evaluation for polynomial "P(x) = %s" at point "x = %s" with "P(%s) = %s"',
+            commitment_artifact.polynomial,
+            a.evaluation.point,
+            a.evaluation.point,
+            a.evaluation.result,
+        )
 
 
 _COMMANDS = {

@@ -99,3 +99,67 @@ def synthetic_divide(coeffs: jnp.ndarray, root: jnp.ndarray, n: int):
 def power_sequence(s: jnp.ndarray, n: int) -> jnp.ndarray:
     """[s^0, s^1, ..., s^(n-1)] — the trusted-setup power ladder, parallel-prefix."""
     return powers(s, n)
+
+
+def _tree_sum_axis(terms: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Log-depth Fr sum along `axis`, batched over every other axis."""
+    n = terms.shape[axis]
+    if n == 0:
+        shape = list(terms.shape)
+        del shape[axis]
+        return jnp.zeros(shape, jnp.uint32)
+    while n > 1:
+        half = n // 2
+        lo = lax.slice_in_dim(terms, 0, half, axis=axis)
+        hi = lax.slice_in_dim(terms, half, 2 * half, axis=axis)
+        s = FR.add(lo, hi)
+        if n % 2:
+            tail = lax.slice_in_dim(terms, 2 * half, n, axis=axis)
+            terms = jnp.concatenate([s, tail], axis=axis)
+            n = half + 1
+        else:
+            terms, n = s, half
+    return jnp.squeeze(terms, axis=axis)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def evaluate_many(coeffs: jnp.ndarray, xs: jnp.ndarray, n: int) -> jnp.ndarray:
+    """P(x_j) for a batch of points in ONE device program.
+
+    coeffs: (16, n) Montgomery; xs: (16, k) Montgomery -> (16, k).
+    The i128-exact batched analog of the reference's per-point evaluate loop
+    (src/polynomial.rs:112-123) over many query points at once."""
+    k = xs.shape[1]
+    if n == 0:
+        return jnp.zeros((FR.L, k), jnp.uint32)
+    one = jnp.broadcast_to(jnp.asarray(FR.ONE_MONT)[:, None, None], (FR.L, 1, k))
+    xb = jnp.broadcast_to(xs[:, None, :], (FR.L, n - 1, k)) if n > 1 else None
+    elems = one if n == 1 else jnp.concatenate([one, xb], axis=1)
+    pw = lax.associative_scan(lambda a, b: FR.mul(a, b), elems, axis=1)  # (16, n, k)
+    return _tree_sum_axis(FR.mul(coeffs[:, :, None], pw), axis=1)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def synthetic_divide_many(coeffs: jnp.ndarray, roots: jnp.ndarray, n: int):
+    """Divide P (coeffs (16, n), n >= 2) by (x - root_j) for a batch of roots.
+
+    Returns (quotients (16, n-1, k) ascending, remainders (16, k)) where
+    remainder_j = P(root_j) — so (P - P(root_j)) / (x - root_j) = quotient_j
+    exactly (the subtraction only changes the constant term, which the
+    quotient never depends on). One associative scan, batched over roots."""
+    d = n - 1
+    k = roots.shape[1]
+    b = jnp.broadcast_to(coeffs[:, ::-1][:, :d, None], (FR.L, d, k))
+    a = jnp.broadcast_to(roots[:, None, :], (FR.L, d, k))
+    a = a.at[:, 0].set(0)
+
+    def combine(e1, e2):
+        a1, b1 = e1
+        a2, b2 = e2
+        return FR.mul(a1, a2), FR.add(FR.mul(b1, a2), b2)
+
+    _, u = lax.associative_scan(combine, (a, b), axis=1)
+    quotients = u[:, ::-1]  # (16, d, k) ascending
+    # remainder P(root) = p_0 + root * q_0
+    rem = FR.add(coeffs[:, 0, None], FR.mul(roots, quotients[:, 0]))
+    return quotients, rem

@@ -191,6 +191,36 @@ class Polynomial:
         mask = jnp.asarray(infs) if any(infs) else None
         return G1Point(msmops.msm_g1((px, py), scalars, inf_mask=mask))
 
+    def evaluate_many(self, points: list[Scalar]) -> list["Evaluation"]:
+        """P(x_j) for many points in ONE device program (batched powers +
+        log-depth sums — the k-point analog of src/polynomial.rs:112-123)."""
+        if not points:
+            return []
+        n = self.num_coefficients
+        xs = jnp.stack([p.mont for p in points], axis=-1)  # (16, k)
+        ys = polyops.evaluate_many(self._coeffs, xs, n)
+        return [
+            Evaluation(point=p, result=Scalar._from_mont(ys[:, j]))
+            for j, p in enumerate(points)
+        ]
+
+    def evaluate_on_domain(self, k: int) -> list["Evaluation"]:
+        """Evaluate on the full 2^k NTT domain [w^j] in one forward NTT —
+        O(n log n) Fr ops total instead of O(n) per point (the degree-scaling
+        evaluation engine; the reference recomputes x^i per term per point,
+        src/polynomial.rs:112-123)."""
+        from .ops import ntt as nttops
+        from .utils import hostmath as hm
+
+        if self.num_coefficients > (1 << k):
+            raise ProtocolError("Polynomial degree exceeds the evaluation domain")
+        evals = nttops.evaluate_on_domain(self._coeffs, k)
+        dom = nttops.domain(k)
+        return [
+            Evaluation(point=Scalar.from_int(w), result=Scalar._from_mont(evals[:, j]))
+            for j, w in enumerate(dom)
+        ]
+
     # -- display --------------------------------------------------------------------
 
     def __str__(self) -> str:
@@ -247,19 +277,13 @@ class Evaluation:
 
     def verify_proof(self, proof: G1Point, commitment: G1Point, setup_artifacts) -> bool:
         """e(proof, s G2 - x G2) == e(C - y G1, G2), both pairings in one
-        batched device call (src/polynomial.rs:276-294)."""
-        from .ops import pairing as devpair
-        from .trusted_setup import DeviceSRS
+        batched device call (src/polynomial.rs:276-294).
 
-        if len(setup_artifacts) < 2:
-            raise ProtocolError("At least 2 setup artifacts are required for verification")
-        if isinstance(setup_artifacts, DeviceSRS):
-            s_g2 = setup_artifacts.g2[1]
-        else:
-            s_g2 = setup_artifacts[1].g2
-        lhs_g2 = s_g2.sub(G2Point.from_scalar(self.point))
-        rhs_g1 = commitment.sub(G1Point.from_scalar(self.result))
-        return devpair.pairing_pair_equal(proof, lhs_g2, rhs_g1, G2Point.from_i128(1))
+        Routed through verify_proofs_batch so every verification in the
+        process — single or batched — shares ONE compiled pairing program
+        (the pairing is the most expensive compile in the framework; the
+        batch dimension is padded to a fixed shape bucket)."""
+        return verify_proofs_batch([proof], [commitment], [self], setup_artifacts)[0]
 
     def to_json(self) -> dict:
         return {"point": self.point.to_json(), "result": self.result.to_json()}
@@ -270,6 +294,55 @@ class Evaluation:
 
     def __repr__(self):
         return f"Evaluation(point={self.point}, result={self.result})"
+
+
+def generate_proofs_batch(polynomial: Polynomial, points: list[Scalar],
+                          setup_artifacts) -> tuple[list[Evaluation], list[G1Point]]:
+    """Commit-once, open-at-many-points: evaluations y_j = P(x_j) and opening
+    proofs pi_j = commit((P - y_j)/(X - x_j)) for k points — the k synthetic
+    divisions run as ONE batched associative scan and the k quotient MSMs run
+    as ONE composite-key fixed-base bucket pass (ops.msm.msm_g1_fixed_many).
+
+    Per-item results match Evaluation.generate_proof exactly
+    (src/polynomial.rs:260-269 semantics, batched)."""
+    if not points:
+        return [], []
+    n = polynomial.num_coefficients
+    if polynomial.degree() + 1 > len(setup_artifacts):
+        raise ProtocolError(
+            "Setup does not allow for commitment generation of the polynomial. The polynomial degree is too high."
+        )
+    if n <= 1:
+        # constant / zero polynomial: P - P(x) is the zero polynomial; its
+        # quotient is zero and the proof is the identity (reference semantics:
+        # sub yields the empty polynomial, divide_by_root returns it).
+        evs = polynomial.evaluate_many(points) if n else [
+            Evaluation(point=p, result=Scalar.from_int(0)) for p in points
+        ]
+        return evs, [G1Point.from_i128(0) for _ in points]
+
+    from .trusted_setup import DeviceSRS
+
+    xs = jnp.stack([p.mont for p in points], axis=-1)  # (16, k)
+    quotients, rems = polyops.synthetic_divide_many(polynomial.coeffs_mont, xs, n)
+    evs = [
+        Evaluation(point=p, result=Scalar._from_mont(rems[:, j]))
+        for j, p in enumerate(points)
+    ]
+    scalars = FR.from_mont(quotients)  # (16, n-1, k) standard-form
+
+    if isinstance(setup_artifacts, DeviceSRS) and n - 1 >= msmops.FIXED_BASE_THRESHOLD:
+        # one composite-key bucket pass for all k quotient MSMs
+        jac = msmops.msm_g1_fixed_many(setup_artifacts.fixed_tables(), scalars)
+        proofs = [G1Point(tuple(c[:, j] for c in jac)) for j in range(len(points))]
+        return evs, proofs
+    # small-degree / artifact-list path: per-point MSMs through the standard
+    # commit kernels (k warm reuses of one compiled program)
+    proofs = [
+        Polynomial._from_mont_array(quotients[:, :, j]).commit(setup_artifacts)
+        for j in range(len(points))
+    ]
+    return evs, proofs
 
 
 def verify_proofs_batch(proofs, commitments, evaluations, setup_artifacts) -> list[bool]:
@@ -292,6 +365,14 @@ def verify_proofs_batch(proofs, commitments, evaluations, setup_artifacts) -> li
         raise ProtocolError("proofs/commitments/evaluations length mismatch")
     if v == 0:
         return []
+    # Pad the batch to a power-of-two bucket (>= 4) by repeating item 0, so
+    # every batch size in a bucket reuses ONE compiled pairing program (the
+    # pairing compile is minutes cold; padded lanes are sliced off below).
+    vp = max(4, 1 << (v - 1).bit_length())
+    if vp != v:
+        proofs = list(proofs) + [proofs[0]] * (vp - v)
+        commitments = list(commitments) + [commitments[0]] * (vp - v)
+        evaluations = list(evaluations) + [evaluations[0]] * (vp - v)
     s_g2 = (
         setup_artifacts.g2[1]
         if isinstance(setup_artifacts, DeviceSRS)
@@ -301,27 +382,29 @@ def verify_proofs_batch(proofs, commitments, evaluations, setup_artifacts) -> li
     xs = jnp.stack([ev.point.std_limbs() for ev in evaluations], axis=-1)  # (16, V)
     ys = jnp.stack([ev.result.std_limbs() for ev in evaluations], axis=-1)
 
-    # lhs G2 inputs: s*G2 - x*G2 (batched fixed-base ladder over V)
-    x_g2 = cvo.G2.mul_scalar_affine(cvo.G2_GEN_DEV, xs)
+    from .ops import genmul
+
+    # lhs G2 inputs: s*G2 - x*G2 (generator-table mults, batched over V)
+    x_g2 = genmul.mul_g2_gen(xs)
     s_jac = tuple(cvo.JacobianCurve.lift(c, x_g2[0].ndim) for c in s_g2.jac)
     lhs_g2 = cvo.G2.add(tuple(jnp.broadcast_to(c, o.shape) for c, o in zip(s_jac, x_g2)),
                         cvo.G2.neg(x_g2))
     # rhs G1 inputs: C - y*G1
-    y_g1 = cvo.G1.mul_scalar_affine(cvo.G1_GEN_DEV, ys)
+    y_g1 = genmul.mul_g1_gen(ys)
     c_jac = tuple(jnp.stack([cm.jac[k] for cm in commitments], axis=-1) for k in range(3))
     rhs_g1 = cvo.G1.add(c_jac, cvo.G1.neg(y_g1))
     p_jac = tuple(jnp.stack([pf.jac[k] for pf in proofs], axis=-1) for k in range(3))
 
-    # batch both pairing sides: lanes [0, V) = lhs pairing, [V, 2V) = rhs pairing
+    # batch both pairing sides: lanes [0, Vp) = lhs pairing, [Vp, 2Vp) = rhs pairing
     g1_all = tuple(jnp.concatenate([a, b], axis=-1) for a, b in zip(p_jac, rhs_g1))
-    g2_gen = cvo.g2_to_device([hm.G2_GEN] * v, batch=True)
+    g2_gen = cvo.g2_to_device([hm.G2_GEN] * vp, batch=True)
     g2_all = tuple(jnp.concatenate([a, b], axis=-1) for a, b in zip(lhs_g2, g2_gen))
 
     (g1x, g1y), g1inf = cvo.G1.to_affine(g1_all)
     (g2x, g2y), g2inf = cvo.G2.to_affine(g2_all)
     out = devpair.pairing((g1x, g1y), g1inf, (g2x, g2y), g2inf)
 
-    # stack the fp12 coefficient tree -> (L, 2, 3, 2, 2V); compare lane i vs V+i
+    # stack the fp12 coefficient tree -> (L, 2, 3, 2, 2Vp); compare lane i vs Vp+i
     flat = jnp.stack([jnp.stack(c6, axis=2) for c6 in out], axis=3)
-    eq = jnp.all(flat[..., :v] == flat[..., v:], axis=tuple(range(flat.ndim - 1)))
-    return [bool(b) for b in np.asarray(eq)]
+    eq = jnp.all(flat[..., :vp] == flat[..., vp:], axis=tuple(range(flat.ndim - 1)))
+    return [bool(b) for b in np.asarray(eq)[:v]]

@@ -65,3 +65,31 @@ def test_negative_coefficients_workflow(workdir):
 
 def test_no_command_warns(capsys):
     assert cli.main([]) == 0
+
+
+@pytest.mark.slow
+def test_batch_evaluate_workflow(workdir, capsys):
+    """Multi-point evaluate writes evaluations.json (one batched device
+    program); verify-evaluation --all checks every proof in one pairing call.
+    k = 3 points shares the batched-pairing program shape with the other
+    V = 3 tests (compile-cache reuse)."""
+    from kzg_tpu.scalar import Scalar
+    from kzg_tpu.trusted_setup import generate_setup
+
+    art.save_setup(generate_setup(Scalar.from_int(0xBA7C4), 10))
+    assert cli.main(["commit", "--coefficients", "2", "1", "3"]) == 0
+    assert cli.main(["evaluate", "7", "-2", "11"]) == 0
+    eraw = json.loads(open(art.EVALUATIONS_BATCH_PATH).read())
+    assert len(eraw) == 3
+    # P(x) = 2 + x + 3x^2: P(7) = 156, P(-2) = 12, P(11) = 376
+    assert int.from_bytes(bytes(eraw[0]["evaluation"]["result"]), "little") == 156
+    assert int.from_bytes(bytes(eraw[1]["evaluation"]["result"]), "little") == 12
+    assert int.from_bytes(bytes(eraw[2]["evaluation"]["result"]), "little") == 376
+
+    assert cli.main(["verify-evaluation", "--all"]) == 0
+
+    # tamper with one claimed result -> the batched verify must fail
+    eraw[1]["evaluation"]["result"] = list((13).to_bytes(32, "little"))
+    open(art.EVALUATIONS_BATCH_PATH, "w").write(json.dumps(eraw, separators=(",", ":")))
+    assert cli.main(["verify-evaluation", "--all"]) == 1
+    assert "The proof associated to the evaluation is incorrect." in capsys.readouterr().err
