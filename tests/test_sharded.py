@@ -54,6 +54,27 @@ def test_sharded_msm_unaligned_batch(mesh, srs, rng):
     assert cv.g1_from_device(sharded) == cv.g1_from_device(single)
 
 
+def test_sharded_fixed_base_msm_equals_single(mesh, srs, rng):
+    """The production sharded MSM path (fixed-base tables + per-chip bucket
+    pipeline + partial-sum reduce) must equal the single-device fixed-base
+    result and the naive ladder (VERDICT round-1 item 2)."""
+    from kzg_tpu.parallel import sharded_msm_g1_fixed, sharded_precompute_g1_tables
+
+    s, n, x, y = srs
+    scalars = [rng.randrange(hm.R) for _ in range(n)]
+    k = cv.fr_to_device(scalars, batch=True)
+    # 8-bit windows: the bucket stages cost O(2^wb) per chip — the small
+    # configuration keeps the 8-virtual-device CPU suite fast
+    tables = sharded_precompute_g1_tables(mesh, (x, y), window_bits=8)
+    sharded = sharded_msm_g1_fixed(mesh, tables, k)
+    single_tables = msmops.precompute_g1_tables((x, y), window_bits=8)
+    single = msmops.msm_g1_fixed(single_tables, k, window_bits=8)
+    ladder = msmops.msm_batched_affine(cv.G1, (x, y), k)
+    got = cv.g1_from_device(sharded)
+    assert got == cv.g1_from_device(single)
+    assert got == cv.g1_from_device(ladder)
+
+
 def test_sharded_evaluate(mesh, rng):
     n = 40
     coeffs = [rng.randrange(hm.R) for _ in range(n)]
@@ -69,6 +90,29 @@ def test_sharded_setup(mesh):
     jac = sharded_setup_g1(mesh, jnp.asarray(FR.to_limbs(s)), 16)
     pts = cv.g1_from_device(jac)
     assert pts == [hm.g1_mul(hm.G1_GEN, pow(s, k, hm.R)) for k in range(16)]
+
+
+@pytest.mark.slow
+def test_cli_sharded_ceremony_matches_iterator(mesh):
+    """cli --devices trusted-setup path == the serial iterator, bit-exact
+    (same secret -> same compressed artifact bytes)."""
+    from kzg_tpu import cli
+    from kzg_tpu.trusted_setup import SetupArtifactsGenerator
+
+    secret = bytes(range(11, 43))
+    sharded = cli._trusted_setup_sharded(secret, 6, mesh.devices.size)
+    serial = SetupArtifactsGenerator(secret).take(6)
+    assert [a.to_json() for a in sharded] == [a.to_json() for a in serial]
+
+
+@pytest.mark.slow
+def test_sharded_setup_g2(mesh):
+    from kzg_tpu.parallel import sharded_setup_g2
+
+    s = 192837465
+    jac = sharded_setup_g2(mesh, jnp.asarray(FR.to_limbs(s)), 8)
+    pts = cv.g2_from_device(jac)
+    assert pts == [hm.g2_mul(hm.G2_GEN, pow(s, k, hm.R)) for k in range(8)]
 
 
 @pytest.mark.slow
@@ -98,3 +142,7 @@ def test_sharded_ntt_matches_single(mesh, rng):
     got = sh.sharded_ntt(mesh, dev, k)
     exp = nttops.ntt(dev, k)
     assert FR.from_limbs_many(got) == FR.from_limbs_many(exp)
+    # distributed output (gather=False): element j = j1 + n1*j2 at [:, j1, j2]
+    dist = sh.sharded_ntt(mesh, dev, k, gather=False)
+    flat = jnp.transpose(dist, (0, 2, 1)).reshape(FR.L, 1 << k)
+    assert FR.from_limbs_many(flat) == FR.from_limbs_many(exp)
