@@ -53,9 +53,11 @@ def main() -> int:
         px, py = jnp.asarray(d["px"]), jnp.asarray(d["py"])
         print(f"[bench] SRS loaded from cache: {time.time()-t0:.1f}s", file=sys.stderr)
     else:
+        from kzg_tpu.ops import genmul
+
         s_mont = jnp.asarray(FR.to_limbs(0x1CAFE_F00D_5EED))
         pw_std = FR.from_mont(polyops.power_sequence(s_mont, n))
-        jac = cv.G1.mul_scalar_affine(cv.G1_GEN_DEV, pw_std)
+        jac = genmul.mul_g1_gen(pw_std)
         (px, py), _inf = cv.G1.to_affine(jac)
         px, py = jax.block_until_ready((px, py))
         print(f"[bench] SRS generation ({n} pts): {time.time()-t0:.1f}s", file=sys.stderr)
@@ -117,11 +119,30 @@ def main() -> int:
     print(f"[bench] MSM n={n}: best {best*1e3:.1f} ms over {iters} iters "
           f"=> {pts_per_s:,.0f} points/s", file=sys.stderr)
 
+    # Speed-of-light accounting (BASELINE's MFU analog for u32 field work).
+    # Dominant work: the bucket-accumulation scan = 16n mixed adds of 11 Fp
+    # muls each (fast madd kernel); each 381-bit Montgomery Fp mul is a 24x24
+    # u32-limb schoolbook product + an equal-size Montgomery reduction
+    # (~2*24*24 = 1152 32-bit multiplies, ignoring the cheaper carry/add
+    # circuits). The v5e VPU upper bound is 8 sublanes x 128 lanes x ~940 MHz
+    # one-multiply-per-lane-cycle.
+    V5E_U32_MULS_PER_S = 8 * 128 * 940e6
+    fp_mul_u32 = 2 * 24 * 24
+    madd_fp_muls = 11
+    sol_s = (16 * n) * madd_fp_muls * fp_mul_u32 / V5E_U32_MULS_PER_S
+    sol_pts_per_s = n / sol_s
+    util = best and sol_s / best
+    print(f"[bench] speed-of-light (scan-only, VPU mult-bound): {sol_s*1e3:.1f} ms "
+          f"=> {sol_pts_per_s:,.0f} pts/s ceiling; utilization {util*100:.1f}%",
+          file=sys.stderr)
+
     print(json.dumps({
         "metric": f"g1_commit_msm_points_per_s_n{n}",
         "value": round(pts_per_s, 1),
         "unit": "points/s",
         "vs_baseline": round(pts_per_s / BASELINE_POINTS_PER_S, 3),
+        "sol_points_per_s": round(sol_pts_per_s, 1),
+        "sol_utilization": round(util, 4),
     }))
     return 0
 

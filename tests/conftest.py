@@ -19,9 +19,17 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/kzg_tpu_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+import gc
 import random
 
 import pytest
+
+# JAX tracing is pure Python and allocates heavily; in a long test process the
+# accumulated live heap makes every gen-2 GC scan (triggered constantly during
+# tracing) cost seconds. Freeze the post-import heap out of collection and
+# raise the gen-0 threshold — tests create no reference cycles worth chasing.
+gc.freeze()
+gc.set_threshold(50000, 50, 50)
 
 
 @pytest.fixture
