@@ -89,8 +89,13 @@ def main() -> int:
         except OSError:
             pass
 
+    # Above 2^18 points the single-shot pipeline's sorted copies + prefix
+    # runs approach a v5e's HBM; the blocked variant bounds peak memory and
+    # reuses one set of stage programs across blocks.
+    block = 1 << 18
+
     def run():
-        out = msmops.msm_g1_fixed(tables, scalars)
+        out = msmops.msm_g1_fixed_blocked(tables, scalars, block=block)
         # force full device->host sync (block_until_ready alone has proven
         # unreliable for timing on the tunneled backend)
         return tuple(np.asarray(c) for c in out)

@@ -641,6 +641,41 @@ def fb_chunk_size(P: int, chunk: int | None = None) -> int:
     return min(m, P)
 
 
+def msm_g1_fixed_blocked(tables, scalars, inf_mask=None, block: int = 1 << 18,
+                         chunk: int | None = None,
+                         window_bits: int = FB_WINDOW_BITS):
+    """Memory-bounded fixed-base MSM: the point axis is processed in
+    `block`-point table slices and the per-block partial sums are tree-added.
+
+    The single-shot pipeline materializes ~3 full sorted copies of the table
+    plus 3 prefix-run arrays — at 2^20 points x 16 windows that exceeds a
+    single v5e's HBM. Blocks bound peak device memory at ~block/nt of the
+    whole while reusing ONE set of stage programs across blocks (all blocks
+    share the same shapes). Same group element as msm_g1_fixed."""
+    tx, ty = tables
+    windows = 256 // window_bits
+    nt = tx.shape[1] // windows
+    n = scalars.shape[-1]
+    if nt <= block:
+        return msm_g1_fixed(tables, scalars, inf_mask, chunk, window_bits)
+    if nt % block:
+        raise ValueError("block must divide the table width")
+    parts = []
+    base = np.arange(windows, dtype=np.int64)[:, None] * nt
+    for lo in range(0, min(n, nt), block):
+        hi = min(lo + block, nt)
+        idx = (base + np.arange(lo, hi, dtype=np.int64)[None, :]).ravel()
+        txb, tyb = tx[:, idx], ty[:, idx]
+        kb = scalars[..., lo:hi]
+        imb = None
+        if inf_mask is not None:
+            im = np.asarray(inf_mask)
+            imb = im[lo:hi] if lo < im.shape[0] else None
+        parts.append(msm_g1_fixed((txb, tyb), kb, imb, chunk, window_bits))
+    stacked = tuple(jnp.stack([p[k] for p in parts], axis=-1) for k in range(3))
+    return tree_reduce(G1, stacked, axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # Batched fixed-base MSM: k independent MSMs against the SAME tables in ONE
 # bucket pass (the batch-opening shape: k quotient polynomials against one

@@ -101,3 +101,23 @@ def test_msm_fixed_base_vs_oracle(rng):
         msmops.msm_g1_fixed(tables, cv.fr_to_device([0] * n, batch=True), window_bits=8)
     )
     assert got0 is None
+
+
+def test_msm_fixed_base_blocked_equals_single(rng):
+    """msm_g1_fixed_blocked (the HBM-bounded 2^20 path) must produce the same
+    group element as the single-shot pipeline across block boundaries,
+    including scalars shorter than the padded table width."""
+    n = 100  # pads to nt = 128; blocks of 64 -> 2 blocks, second one partial
+    ks = [rng.randrange(1, hm.R) for _ in range(n)]
+    scalars = [rng.randrange(hm.R) for _ in range(n)]
+    scalars[0] = 0
+    pts = [hm.g1_mul(hm.G1_GEN, k) for k in ks]
+    px = jnp.asarray(cv.FP.many_to_limbs([p[0] for p in pts]))
+    py = jnp.asarray(cv.FP.many_to_limbs([p[1] for p in pts]))
+    tables = msmops.precompute_g1_tables((px, py), window_bits=8)
+    k = cv.fr_to_device(scalars, batch=True)
+    single = cv.g1_from_device(msmops.msm_g1_fixed(tables, k, window_bits=8))
+    blocked = cv.g1_from_device(
+        msmops.msm_g1_fixed_blocked(tables, k, block=64, window_bits=8)
+    )
+    assert blocked == single
