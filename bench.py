@@ -55,10 +55,23 @@ def main() -> int:
     else:
         from kzg_tpu.ops import genmul
 
+        # chunked ceremony: one set of stage programs reused across 2^16-point
+        # chunks; an unchunked mul_g1_gen at 2^20 materializes ~10 GB of
+        # gather/tree temporaries and OOMs a 16 GB v5e
+        chunk = min(n, 1 << 16)
         s_mont = jnp.asarray(FR.to_limbs(0x1CAFE_F00D_5EED))
-        pw_std = FR.from_mont(polyops.power_sequence(s_mont, n))
-        jac = genmul.mul_g1_gen(pw_std)
-        (px, py), _inf = cv.G1.to_affine(jac)
+        base = jnp.asarray(FR.ONE_MONT)
+        xs, ys = [], []
+        for lo in range(0, n, chunk):
+            m = min(chunk, n - lo)
+            pw = FR.mul(polyops.power_sequence(s_mont, m), base[:, None])
+            base = FR.mul(pw[:, -1], s_mont)
+            jac = genmul.mul_g1_gen(FR.from_mont(pw))
+            (cx, cy), _inf = cv.G1.to_affine(jac)
+            xs.append(np.asarray(cx))
+            ys.append(np.asarray(cy))
+        px = jnp.asarray(np.concatenate(xs, axis=1))
+        py = jnp.asarray(np.concatenate(ys, axis=1))
         px, py = jax.block_until_ready((px, py))
         print(f"[bench] SRS generation ({n} pts): {time.time()-t0:.1f}s", file=sys.stderr)
         try:

@@ -47,8 +47,8 @@ def probe_tpu(timeout: int = 300) -> bool:
 
 def run_stage(name: str, cmd: list[str], outfile: str, force: bool,
               timeout: int = 7200) -> bool:
-    path = os.path.join(RESULTS, outfile)
-    if os.path.exists(path) and not force:
+    path = os.path.join(RESULTS, outfile) if outfile else None
+    if path and os.path.exists(path) and not force:
         print(f"[run_all] {name}: {outfile} exists, skipping", file=sys.stderr)
         return True
     print(f"[run_all] {name}: {' '.join(cmd)}", file=sys.stderr)
@@ -64,7 +64,7 @@ def run_stage(name: str, cmd: list[str], outfile: str, force: bool,
         return False
     # last stdout line is the JSON payload for single-line tools; bench_suite
     # writes its own --json file
-    if outfile and out.stdout.strip():
+    if path and out.stdout.strip():
         payload = out.stdout.strip().splitlines()[-1]
         try:
             json.loads(payload)
