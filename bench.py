@@ -28,24 +28,32 @@ def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
+    import os
+
     import jax
+
+    # Persistent compile cache: the tunneled backend's AOT compiles run for
+    # minutes; cache hits make repeated driver/bench invocations near-free.
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/kzg_tpu_jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from kzg_tpu.ops import curve as cv
     from kzg_tpu.ops import msm as msmops
-    from kzg_tpu.ops import poly as polyops
     from kzg_tpu.ops.field import FR
     from kzg_tpu.utils import hostmath as hm
 
     dev = jax.devices()[0]
     print(f"[bench] device: {dev.platform}:{dev.device_kind}", file=sys.stderr)
 
-    # SRS-like points: s^k * G1 on device (one batched fixed-base ladder),
-    # then a batched Jacobian->affine conversion (single Fermat inversion per
-    # lane). The points are deterministic (fixed secret), so they are cached
-    # on disk: the SRS-generation compile is harness cost, not the metric,
-    # and the tunneled backend's cold compiles are minutes long.
-    import os
+    # SRS-like points: s^k * G1 via the shared chunked ceremony helper
+    # (kzg_tpu.ops.genmul.chunked_srs_g1 — also used by benches/ceremony.py).
+    # The points are deterministic (fixed secret), so they are cached on
+    # disk: the SRS-generation compile is harness cost, not the metric, and
+    # the tunneled backend's cold compiles are minutes long.
     cache = os.path.expanduser(f"~/.cache/kzg_tpu_bench_srs_{n}.npz")
     t0 = time.time()
     if os.path.exists(cache):
@@ -55,28 +63,12 @@ def main() -> int:
     else:
         from kzg_tpu.ops import genmul
 
-        # chunked ceremony: one set of stage programs reused across 2^16-point
-        # chunks; an unchunked mul_g1_gen at 2^20 materializes ~10 GB of
-        # gather/tree temporaries and OOMs a 16 GB v5e
-        chunk = min(n, 1 << 16)
-        s_mont = jnp.asarray(FR.to_limbs(0x1CAFE_F00D_5EED))
-        base = jnp.asarray(FR.ONE_MONT)
-        xs, ys = [], []
-        for lo in range(0, n, chunk):
-            m = min(chunk, n - lo)
-            pw = FR.mul(polyops.power_sequence(s_mont, m), base[:, None])
-            base = FR.mul(pw[:, -1], s_mont)
-            jac = genmul.mul_g1_gen(FR.from_mont(pw))
-            (cx, cy), _inf = cv.G1.to_affine(jac)
-            xs.append(np.asarray(cx))
-            ys.append(np.asarray(cy))
-        px = jnp.asarray(np.concatenate(xs, axis=1))
-        py = jnp.asarray(np.concatenate(ys, axis=1))
-        px, py = jax.block_until_ready((px, py))
+        hx, hy = genmul.chunked_srs_g1(0x1CAFE_F00D_5EED, n, chunk=min(n, 1 << 16))
+        px, py = jax.block_until_ready((jnp.asarray(hx), jnp.asarray(hy)))
         print(f"[bench] SRS generation ({n} pts): {time.time()-t0:.1f}s", file=sys.stderr)
         try:
             os.makedirs(os.path.dirname(cache), exist_ok=True)
-            np.savez(cache, px=np.asarray(px), py=np.asarray(py))
+            np.savez(cache, px=hx, py=hy)
         except OSError:
             pass
 

@@ -50,22 +50,11 @@ def main() -> int:
     res["g1_table_build_s"] = round(time.time() - t0, 2)
     print(f"[ceremony] G1 generator tables: {res['g1_table_build_s']}s", file=sys.stderr)
 
-    s_mont = jnp.asarray(FR.to_limbs(0x1CAFE_F00D_5EED))
+    s = 0x1CAFE_F00D_5EED
 
-    # powers scan (chunked so the scan memory stays bounded): s^(lo..hi)
+    # shared chunked ceremony helper (also the bench.py SRS path)
     t0 = time.time()
-    outs = []
-    base = jnp.asarray(FR.ONE_MONT)
-    pw_chunk = None
-    for lo in range(0, n, chunk):
-        m = min(chunk, n - lo)
-        pw_chunk = polyops.power_sequence(s_mont, m)
-        pw_chunk = FR.mul(pw_chunk, base[:, None])
-        base = FR.mul(pw_chunk[:, -1], s_mont)
-        std = FR.from_mont(pw_chunk)
-        jac = genmul.mul_gen(cv.G1, std, tables=g1_tables)
-        (x, y), inf = cv.G1.to_affine(jac)
-        outs.append((np.asarray(x), np.asarray(y)))
+    px, py = genmul.chunked_srs_g1(s, n, chunk)
     srs_s = time.time() - t0
     res["srs_g1_s"] = round(srs_s, 2)
     res["g1_points_per_s"] = round(n / srs_s, 1)
@@ -73,15 +62,13 @@ def main() -> int:
           f"=> {n/srs_s:,.0f} pts/s", file=sys.stderr)
 
     # spot-check a few points against the exact oracle
-    s = 0x1CAFE_F00D_5EED
     checks = [1, 2, n // 2, n - 1]
     ok = True
     from kzg_tpu.ops.field import FP
 
     for k in checks:
-        ci, off = divmod(k, chunk)
-        x = FP.from_limbs(outs[ci][0][:, off])
-        y = FP.from_limbs(outs[ci][1][:, off])
+        x = FP.from_limbs(px[:, k])
+        y = FP.from_limbs(py[:, k])
         exp = hm.g1_mul(hm.G1_GEN, pow(s, k, hm.R))
         if (x, y) != exp:
             ok = False
@@ -95,6 +82,7 @@ def main() -> int:
         jax.block_until_ready(g2_tables)
         res["g2_table_build_s"] = round(time.time() - t0, 2)
         t0 = time.time()
+        s_mont = jnp.asarray(FR.to_limbs(s))
         base = jnp.asarray(FR.ONE_MONT)
         for lo in range(0, n, chunk):
             m = min(chunk, n - lo)

@@ -167,8 +167,10 @@ class G2Point(_PointBase):
 
 
 def bilinear_map(p1: G1Point, p2: G2Point):
-    """Reduced optimal ate pairing e(P, Q) -> Fp12 (reference src/curves.rs:355-371:
-    blst_miller_loop + blst_final_exp over (G2, G1) affines).
+    """CANONICAL reduced optimal ate pairing e(P, Q) -> Fp12 (reference
+    src/curves.rs:355-371: blst_miller_loop + blst_final_exp over (G2, G1)
+    affines). Values are bit-identical to blst's — external comparisons
+    against other BLS12-381 stacks match.
 
     Runs the device Miller loop + final exponentiation when available; the
     host oracle is the fallback (and the test cross-check).

@@ -177,6 +177,63 @@ def mul_g1_gen(k: jnp.ndarray):
     return mul_gen_auto(G1, k)
 
 
+@partial(jax.jit, static_argnums=(2,))
+def _srs_chunk_points_jit(s_mont, base, chunk: int, tx, ty):
+    """One SRS chunk as a single device program: powers scan -> generator
+    window-table lookups -> window add tree. Eager per-op dispatch here costs
+    one tunneled-backend round trip per op (~50x the device time at 2^16);
+    one jitted program per fixed chunk shape removes all of it."""
+    from . import poly as polyops
+
+    pw = FR.mul(polyops.powers(s_mont, chunk), base[:, None])
+    new_base = FR.mul(pw[:, -1], s_mont)
+    jac = mul_gen(G1, FR.from_mont(pw), tables=(tx, ty))
+    return jac, new_base
+
+
+@jax.jit
+def _srs_chunk_affine_jit(jx, jy, jz):
+    (x, y), inf = G1.to_affine((jx, jy, jz))
+    return x, y, jnp.any(inf)
+
+
+def chunked_srs_g1(s: int, n: int, chunk: int = 1 << 16):
+    """Affine SRS points (s^k * G1 for k < n) as host numpy arrays, built in
+    fixed-shape device chunks.
+
+    One set of stage programs (power ladder, generator tables, affine
+    conversion) covers every chunk: the last partial chunk is PADDED to the
+    full chunk width and the outputs sliced back, so no fresh XLA compile is
+    triggered for a ragged tail. An unchunked build at 2^20 materializes
+    ~10 GB of gather/tree temporaries and OOMs a 16 GB v5e — chunking bounds
+    peak memory while the per-chunk programs amortize.
+
+    Parallelizes the reference's serial setup iterator
+    (/root/reference/src/trusted_setup.rs:40-78). Returns (px, py) uint32
+    arrays of shape (24, n), canonical Montgomery affine.
+    """
+    from . import poly as polyops
+    from . import curve as cvmod
+
+    chunk = min(chunk, n)
+    tx, ty = gen_tables(G1)
+    s_mont = jnp.asarray(FR.to_limbs(s))
+    base = jnp.asarray(FR.ONE_MONT)
+    xs, ys = [], []
+    for lo in range(0, n, chunk):
+        m = min(chunk, n - lo)
+        jac, base = _srs_chunk_points_jit(s_mont, base, chunk, tx, ty)
+        cx, cy, any_inf = _srs_chunk_affine_jit(*jac)
+        # s^k mod r is never 0, so no SRS lane can be the identity; an
+        # infinity lane here means an upstream regression and must not be
+        # silently encoded as (0, 0) (callers may cache these arrays).
+        if bool(any_inf):
+            raise AssertionError("SRS ceremony produced a point at infinity")
+        xs.append(np.asarray(cx[:, :m]))
+        ys.append(np.asarray(cy[:, :m]))
+    return np.concatenate(xs, axis=1), np.concatenate(ys, axis=1)
+
+
 def mul_g2_gen(k: jnp.ndarray):
     """[k] * G2 generator (see mul_gen_auto)."""
     return mul_gen_auto(G2, k)

@@ -589,15 +589,7 @@ def msm_g1_fixed(tables, scalars, inf_mask=None, chunk: int | None = None,
     m = fb_chunk_size(P, chunk)
 
     xs_s, ys_s, ds = _fb_sort_jit(tx, ty, digits, nt, window_bits)
-    from .field import _use_pallas
-
-    C = P // m
-    if _use_pallas() and C >= 64:
-        runs_flat, totals, flag = _fb_scan_fast_jit(xs_s, ys_s, m)
-        if int(flag) != 0:  # a lane hit P == Q: redo with the exact kernel
-            runs_flat, totals = _fb_scan_jit(xs_s, ys_s, m)
-    else:
-        runs_flat, totals = _fb_scan_jit(xs_s, ys_s, m)
+    runs_flat, totals = _fb_scan_cond_jit(xs_s, ys_s, m)
     off = _fb_offsets_jit(*totals)
     S = _fb_extract_jit(runs_flat, off, ds, m, window_bits)
     W = _fb_grid_trees_jit(*S)
@@ -606,9 +598,11 @@ def msm_g1_fixed(tables, scalars, inf_mask=None, chunk: int | None = None,
 
 
 def _fb_scan_traced(xs_s, ys_s, m: int):
-    """Fully-traced scan (no host sync) for use inside shard_map / enclosing
-    jit: on TPU, the fast 11-mul kernel with an in-graph lax.cond fallback to
-    the exact kernel (taken only if a lane hits P == Q); on CPU, lax.scan."""
+    """Fully-traced scan (no host sync): on TPU, the fast 11-mul kernel with
+    an in-graph lax.cond fallback to the exact kernel (taken only if a lane
+    hits P == Q); on CPU, lax.scan. The ONLY scan entry of every MSM path —
+    a host `int(flag)` round-trip per invocation (round 2) costs one
+    device->host sync per block in the blocked 2^20 commit."""
     P = xs_s.shape[1]
     C = P // m
     xs = jnp.moveaxis(xs_s.reshape(FP.L, C, m), 2, 0)  # (m, L, C)
@@ -633,6 +627,9 @@ def _fb_scan_traced(xs_s, ys_s, m: int):
         init = tuple(jnp.zeros((FP.L, C), jnp.uint32) for _ in range(3))
         _, runs = lax.scan(step, init, (xs, ys))
     return _fb_runs_reshape(runs, m)
+
+
+_fb_scan_cond_jit = jax.jit(_fb_scan_traced, static_argnums=(2,))
 
 
 def fb_chunk_size(P: int, chunk: int | None = None) -> int:
@@ -662,15 +659,19 @@ def msm_g1_fixed_blocked(tables, scalars, inf_mask=None, block: int = 1 << 18,
         raise ValueError("block must divide the table width")
     parts = []
     base = np.arange(windows, dtype=np.int64)[:, None] * nt
+    if inf_mask is not None:
+        # align the mask with the scalar axis: a partially-covering mask must
+        # pad with False up to n, or its block slice comes out shorter than
+        # the block's scalar slice and shape-mismatches inside msm_g1_fixed
+        im = np.asarray(inf_mask)
+        if im.shape[0] < n:
+            im = np.pad(im, (0, n - im.shape[0]))
     for lo in range(0, min(n, nt), block):
         hi = min(lo + block, nt)
         idx = (base + np.arange(lo, hi, dtype=np.int64)[None, :]).ravel()
         txb, tyb = tx[:, idx], ty[:, idx]
         kb = scalars[..., lo:hi]
-        imb = None
-        if inf_mask is not None:
-            im = np.asarray(inf_mask)
-            imb = im[lo:hi] if lo < im.shape[0] else None
+        imb = im[lo : lo + kb.shape[-1]] if inf_mask is not None else None
         parts.append(msm_g1_fixed((txb, tyb), kb, imb, chunk, window_bits))
     stacked = tuple(jnp.stack([p[k] for p in parts], axis=-1) for k in range(3))
     return tree_reduce(G1, stacked, axis=-1)
@@ -766,15 +767,7 @@ def msm_g1_fixed_many(tables, scalars_many, inf_mask=None, chunk: int | None = N
     m = min(m, wnt)
 
     xs_s, ys_s, ks = _fbm_sort_jit(tx, ty, digits, nt, window_bits, k)
-    from .field import _use_pallas
-
-    C = P // m
-    if _use_pallas() and C >= 64:
-        runs_flat, totals, flag = _fb_scan_fast_jit(xs_s, ys_s, m)
-        if int(flag) != 0:
-            runs_flat, totals = _fb_scan_jit(xs_s, ys_s, m)
-    else:
-        runs_flat, totals = _fb_scan_jit(xs_s, ys_s, m)
+    runs_flat, totals = _fb_scan_cond_jit(xs_s, ys_s, m)
     off = _fb_offsets_jit(*totals)
     S = _fbm_extract_jit(runs_flat, off, ks, m, window_bits, k)
     W = _fbm_grid_trees_jit(*S)

@@ -12,12 +12,17 @@ i.e. fp12 ((a,0,0), (0,b,c)). The loop runs under lax.fori_loop with the
 BLS parameter bits as a constant table (6 set bits -> lax.cond skips the
 addition step at runtime on the zero bits).
 
-Final exponentiation: easy part via conj/inv/frobenius; hard part is the
-Hayashida-Hayasaka-Teruya chain computing f^(3*(p^4-p^2+1)/r) — i.e. this
-module's reduced pairing is e(P,Q)^3 relative to the canonical reduced ate
-pairing. gcd(3, r) = 1 makes cubing a GT bijection, so all pairing-equality
-checks (the only consumer — pairing values never serialize) are unaffected.
-Tests compare against oracle_pairing(P,Q)^3.
+Final exponentiation: easy part via conj/inv/frobenius; hard part computes the
+CANONICAL f^((p^4-p^2+1)/r) (blst-identical GT values) via the exact
+Hayashida-Hayasaka-Teruya style decomposition
+
+    (p^4-p^2+1)/r = (z-1)^2/3 * (z+p) * (z^2+p^2-1) + 1
+
+which is integral for BLS12-381 (3 | (z-1)^2; verified in tests against the
+exact integer identity). Round 2 shipped the 3d variant (e(P,Q)^3, avoiding
+the /3); the canonical form costs the same — one 126-bit cyclotomic
+exponentiation replaces two 64-bit ones — and makes the public bilinear_map
+value externally comparable to blst's.
 
 Infinity semantics match blst: e(O, Q) = e(P, O) = 1.
 """
@@ -36,6 +41,11 @@ from .field import FP
 from ..utils import hostmath as hm
 
 _X_BITS = np.array([(hm.BLS_X >> i) & 1 for i in range(hm.BLS_X.bit_length())], np.uint32)
+
+# (z-1)^2/3 with z = -BLS_X: the non-sparse factor of the canonical hard part
+_E_HARD = (hm.BLS_X + 1) ** 2 // 3
+assert (hm.BLS_X + 1) ** 2 % 3 == 0
+_E_BITS = np.array([(_E_HARD >> i) & 1 for i in range(_E_HARD.bit_length())], np.uint32)
 
 
 def _line_to_fp12(a, b, c):
@@ -172,41 +182,49 @@ def _final_exp_easy(f):
 
 
 @jax.jit
-def _mul_conj(a, b):
-    return fp12.mul(a, fp12.conj(b))
+def _exp_by_e(f):
+    """f^e for the fixed positive constant e = (z-1)^2/3 (126 bits): plain
+    square-and-multiply with the bits as an embedded table (lax.cond skips
+    the multiply on zero bits at runtime)."""
+    nbits = len(_E_BITS)
+
+    def body(j, acc):
+        acc = fp12.square(acc)
+        bit = jnp.asarray(_E_BITS)[nbits - 2 - j]
+        return lax.cond(bit == 1, lambda a: fp12.mul(a, f), lambda a: a, acc)
+
+    return lax.fori_loop(0, nbits - 1, body, f)
 
 
 @jax.jit
 def _mul_frob1(a, b):
-    return fp12.mul(a, fp12.frobenius(b, 1))
+    return fp12.mul(a, fp12.frobenius(b, 1))  # a * b^p
 
 
 @jax.jit
 def _g4_combine(g3zz, g3, f):
     g4 = fp12.mul(fp12.mul(g3zz, fp12.frobenius(g3, 2)), fp12.conj(g3))
-    return fp12.mul(g4, fp12.mul(fp12.square(f), f))  # * f^3
+    return fp12.mul(g4, f)
 
 
 def final_exponentiation(f):
-    """Reduced pairing power: easy part (p^6-1)(p^2+1), then the hard part as
-    f^(3*(p^4-p^2+1)/r) via the verified chain
+    """CANONICAL reduced pairing power: easy part (p^6-1)(p^2+1), then the
+    hard part f^((p^4-p^2+1)/r) via the exact chain
 
-        3d = (z-1)^2 * (z+p) * (z^2+p^2-1) + 3
+        d = (z-1)^2/3 * (z+p) * (z^2+p^2-1) + 1
 
-    (Hayashida-Hayasaka-Teruya decomposition). The harmless cofactor 3 is the
-    standard trick: gcd(3, r) = 1, so cubing GT is a bijection and every
-    pairing-equality check is unaffected as long as both sides use the same
-    convention (they do: this is the only pairing in the framework, and
-    pairing values never serialize into artifacts).
+    (integral for BLS12-381: 3 | (z-1)^2). Produces blst-identical GT values
+    — external comparisons of bilinear_map against other BLS12-381 stacks
+    match bit-for-bit (reference exposes the raw pairing publicly,
+    src/curves.rs:355-371).
 
-    Composed from small jitted programs (not one inlined trace): the five
+    Composed from small jitted programs (not one inlined trace): the three
     z-exponentiations share ONE compiled program per batch shape.
     """
     f = _final_exp_easy(f)
-    g1 = _mul_conj(_exp_by_z(f), f)  # f^(z-1)
-    g2 = _mul_conj(_exp_by_z(g1), g1)  # f^((z-1)^2)
+    g2 = _exp_by_e(f)  # f^((z-1)^2 / 3)
     g3 = _mul_frob1(_exp_by_z(g2), g2)  # ^(z+p)
-    return _g4_combine(_exp_by_z(_exp_by_z(g3)), g3, f)  # ^(z^2+p^2-1) * f^3
+    return _g4_combine(_exp_by_z(_exp_by_z(g3)), g3, f)  # ^(z^2+p^2-1) * f
 
 
 @jax.jit

@@ -29,8 +29,13 @@ def _scan_prefix_kernel_fast(
     xs_ref, ys_ref, ox_ref, oy_ref, oz_ref, flag_ref, accx, accy, accz
 ):
     """Fast-path scan step: 11-mul madd without the inline doubling; any lane
-    that would need a doubling (P == Q, ~never) sets the per-(block, step)
-    flag and the caller re-runs the exact kernel."""
+    that would need a doubling (P == Q, ~never) ORs into the per-block flag
+    accumulator and the caller re-runs the exact kernel.
+
+    The flag output is (8, C) with an (8, blk) block revisited across the step
+    axis (index map ignores j) — a per-(step, block) flag row would need an
+    illegal (1, blk) block on a (m, C) array (Mosaic requires the
+    second-to-last block dim divisible by 8 or equal to the array dim)."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -38,13 +43,16 @@ def _scan_prefix_kernel_fast(
         accx[...] = jnp.zeros_like(accx)
         accy[...] = jnp.zeros_like(accy)
         accz[...] = jnp.zeros_like(accz)
+        flag_ref[...] = jnp.zeros_like(flag_ref)
 
     run = (accx[...], accy[...], accz[...])
     q = (xs_ref[0], ys_ref[0])
     (nx, ny, nz), needs_double = _madd_pt_fast(run, q)
     accx[...], accy[...], accz[...] = nx, ny, nz
     ox_ref[0], oy_ref[0], oz_ref[0] = nx, ny, nz
-    flag_ref[0, :] = needs_double.astype(jnp.uint32)
+    flag_ref[...] = flag_ref[...] | jnp.broadcast_to(
+        needs_double.astype(jnp.uint32)[None, :], flag_ref.shape
+    )
 
 
 def _scan_prefix_kernel(xs_ref, ys_ref, ox_ref, oy_ref, oz_ref, accx, accy, accz):
@@ -73,14 +81,14 @@ def scan_prefix_madd_fast(xs, ys, m: int, blk: int = 512, interpret: bool = Fals
     while C % blk:
         blk //= 2  # largest power-of-two block dividing the chunk count
     spec = pl.BlockSpec((1, L, blk), lambda i, j: (j, 0, i))
-    fspec = pl.BlockSpec((1, blk), lambda i, j: (j, i))
+    fspec = pl.BlockSpec((8, blk), lambda i, j: (0, i))
     out = pl.pallas_call(
         _scan_prefix_kernel_fast,
         grid=(C // blk, m),
         in_specs=[spec, spec],
         out_specs=[spec, spec, spec, fspec],
         out_shape=[jax.ShapeDtypeStruct((m, L, C), jnp.uint32)] * 3
-        + [jax.ShapeDtypeStruct((m, C), jnp.uint32)],
+        + [jax.ShapeDtypeStruct((8, C), jnp.uint32)],
         scratch_shapes=[pltpu.VMEM((L, blk), jnp.uint32)] * 3,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),

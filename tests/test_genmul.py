@@ -49,3 +49,18 @@ def test_mul_gen_g2_table_path_matches_oracle(rng):
     got = cv.g2_from_device(genmul.mul_gen(cv.G2, cv.fr_to_device(ks, batch=True)))
     want = [hm.g2_mul(hm.G2_GEN, k) if k else None for k in ks]
     assert got == want
+
+
+@pytest.mark.slow
+def test_chunked_srs_g1_matches_oracle():
+    """The jitted chunked ceremony (shared by bench.py and
+    benches/ceremony.py), including a ragged tail chunk (n not a multiple of
+    chunk) whose padding must not leak into the output."""
+    from kzg_tpu.ops.field import FP
+
+    s, n, chunk = 987654321, 10, 4  # 3 chunks, last one partial
+    px, py = genmul.chunked_srs_g1(s, n, chunk)
+    assert px.shape == (24, n) and py.shape == (24, n)
+    for k in range(n):
+        exp = hm.g1_mul(hm.G1_GEN, pow(s, k, hm.R))
+        assert (FP.from_limbs(px[:, k]), FP.from_limbs(py[:, k])) == exp

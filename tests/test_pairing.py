@@ -20,8 +20,9 @@ def test_device_pairing_matches_oracle(rng):
     yQ = jnp.asarray(fp2.from_ints(Q[1]))
     inf = jnp.zeros((), bool)
     out = dp.pairing((xP, yP), inf, (xQ, yQ), inf)
-    # device pairing = canonical oracle pairing cubed (HHT 3d hard part)
-    assert fp12.to_ints(out) == hm.fp12_pow(hm.pairing(P, Q), 3)
+    # device pairing = CANONICAL reduced ate pairing, bit-identical to the
+    # oracle (and hence to blst) — round 2's GT-cubed convention is gone
+    assert fp12.to_ints(out) == hm.pairing(P, Q)
     # infinity inputs give 1 (blst semantics)
     out_inf = dp.pairing((xP, yP), jnp.ones((), bool), (xQ, yQ), inf)
     assert fp12.to_ints(out_inf) == hm.FP12_ONE
@@ -33,7 +34,20 @@ def test_bilinear_map_api(rng):
     lhs = bilinear_map(G1Point.from_i128(a), G2Point.from_i128(b))
     rhs = bilinear_map(G1Point.from_i128(a * b), G2Point.from_i128(1))
     assert lhs == rhs
-    assert lhs == hm.fp12_pow(hm.pairing(hm.g1_mul(hm.G1_GEN, a), hm.g2_mul(hm.G2_GEN, b)), 3)
+    # public API contract: bilinear_map returns the canonical reduced pairing
+    assert lhs == hm.pairing(hm.g1_mul(hm.G1_GEN, a), hm.g2_mul(hm.G2_GEN, b))
+
+
+def test_hard_part_decomposition_exact():
+    """The canonical hard-part chain rests on an integer identity — pin it
+    exactly (host ints, no device work)."""
+    p, r, X = hm.P, hm.R, hm.BLS_X
+    z = -X
+    assert (z - 1) ** 2 % 3 == 0
+    e = (z - 1) ** 2 // 3
+    assert e == dp._E_HARD
+    assert (p**4 - p**2 + 1) % r == 0
+    assert e * (z + p) * (z * z + p * p - 1) + 1 == (p**4 - p**2 + 1) // r
 
 
 @pytest.fixture(scope="module")

@@ -121,3 +121,30 @@ def test_msm_fixed_base_blocked_equals_single(rng):
         msmops.msm_g1_fixed_blocked(tables, k, block=64, window_bits=8)
     )
     assert blocked == single
+
+
+def test_msm_fixed_base_blocked_partial_inf_mask(rng):
+    """A mask covering only part of the second block (round-2 bug: the short
+    mask slice shape-mismatched the block's scalar slice) must zero exactly
+    the flagged lanes."""
+    n = 100  # nt = 128, block=64 -> block 2 holds lanes 64..99 (+28 pads)
+    ks = [rng.randrange(1, hm.R) for _ in range(n)]
+    scalars = [rng.randrange(hm.R) for _ in range(n)]
+    pts = [hm.g1_mul(hm.G1_GEN, k) for k in ks]
+    px = jnp.asarray(cv.FP.many_to_limbs([p[0] for p in pts]))
+    py = jnp.asarray(cv.FP.many_to_limbs([p[1] for p in pts]))
+    tables = msmops.precompute_g1_tables((px, py), window_bits=8)
+    k = cv.fr_to_device(scalars, batch=True)
+    # mask length 80 < n: lanes 70..79 flagged, lanes 80..99 implicitly kept
+    mask = np.zeros(80, dtype=bool)
+    mask[70:80] = True
+    blocked = cv.g1_from_device(
+        msmops.msm_g1_fixed_blocked(tables, k, inf_mask=jnp.asarray(mask),
+                                    block=64, window_bits=8)
+    )
+    exp = None
+    for i, (s, p) in enumerate(zip(scalars, pts)):
+        if 70 <= i < 80:
+            continue
+        exp = hm.g1_add(exp, hm.g1_mul(p, s))
+    assert blocked == exp
