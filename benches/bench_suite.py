@@ -25,6 +25,11 @@ import json
 import sys
 import time
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 
@@ -53,6 +58,10 @@ def main() -> int:
 
     import jax
     import jax.numpy as jnp
+
+    from benches._cache import init_compile_cache
+
+    init_compile_cache()
 
     from kzg_tpu.ops import curve as cv, msm as msmops, poly as polyops
     from kzg_tpu.ops.field import FR

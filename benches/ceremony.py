@@ -34,6 +34,10 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from benches._cache import init_compile_cache
+
+    init_compile_cache()
+
     from kzg_tpu.ops import curve as cv
     from kzg_tpu.ops import genmul
     from kzg_tpu.ops import poly as polyops

@@ -43,6 +43,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from benches._cache import init_compile_cache
+
+    init_compile_cache()
+
     from kzg_tpu.ops import msm as msmops
     from kzg_tpu.ops.field import FP
     from kzg_tpu.utils import hostmath as hm

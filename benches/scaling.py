@@ -37,6 +37,11 @@ def main() -> int:
     if args.cpu_mesh or len(jax.devices()) < max(devs):
         jax.config.update("jax_platforms", "cpu")
 
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from benches._cache import init_compile_cache
+
+    init_compile_cache()
+
     import numpy as np
     import jax.numpy as jnp
 

@@ -289,9 +289,32 @@ _COMMANDS = {
 }
 
 
+def _init_compile_cache():
+    """Persistent XLA compile cache for CLI invocations: every command is a
+    fresh process, and cold AOT compiles on a tunneled TPU backend run for
+    minutes — with the cache, only the first-ever invocation pays them.
+    KZG_TPU_NO_COMPILE_CACHE=1 disables (e.g. for read-only homes)."""
+    if os.environ.get("KZG_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "KZG_TPU_COMPILE_CACHE",
+                os.path.expanduser("~/.cache/kzg_tpu_jax_cache"),
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # never let cache plumbing break a command
+        pass
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     init_logging(args.debug)
+    _init_compile_cache()
     if args.command is None:
         log.warning("No command has been input")
         return 0
