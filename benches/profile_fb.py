@@ -18,9 +18,19 @@ import numpy as np
 
 
 def sync(x):
-    if isinstance(x, tuple):
-        return tuple(sync(c) for c in x)
-    return np.asarray(x)
+    """Barrier WITHOUT bulk device->host transfer: block until the device is
+    done, then fetch a single element. np.asarray of a full (24, 16n) stage
+    output moves hundreds of MB over the TPU tunnel (~6-10 s!) and completely
+    swamps the compute being measured."""
+    import jax
+
+    jax.block_until_ready(x)
+    leaf = x
+    while isinstance(leaf, tuple):
+        leaf = leaf[0]
+    flat = leaf.reshape(-1)
+    np.asarray(flat[:1])
+    return x
 
 
 def timeit(fn, iters=3):
@@ -131,10 +141,17 @@ def main():
     res["combine_ms"] = round(t * 1e3, 1)
     print(f"[prof] combine: {t*1e3:.1f} ms (compile {c:.1f}s)", file=sys.stderr)
 
-    total = sum(v for k, v in res.items() if k.endswith("_ms"))
+    total = sum(v for k, v in res.items() if k.endswith("_ms") and k != "scan_ms")
     res["total_ms"] = round(total, 1)
     res["points_per_s"] = round(n / (total / 1e3), 1)
-    print(f"[prof] TOTAL {total:.1f} ms => {res['points_per_s']:,.0f} pts/s", file=sys.stderr)
+    print(f"[prof] TOTAL (fast-scan path) {total:.1f} ms => "
+          f"{res['points_per_s']:,.0f} pts/s", file=sys.stderr)
+
+    # cross-check: the chained production entry (no inter-stage host syncs)
+    _, t, c = timeit(lambda: msmops.msm_g1_fixed(tables, scalars))
+    res["end_to_end_ms"] = round(t * 1e3, 1)
+    print(f"[prof] end-to-end msm_g1_fixed: {t*1e3:.1f} ms (compile {c:.1f}s) "
+          f"=> {n/t:,.0f} pts/s", file=sys.stderr)
 
     # correctness spot check
     s = 0x1CAFE_F00D_5EED

@@ -331,7 +331,17 @@ def _hs_scan_points(pts, axis: int, reverse: bool = False, exclusive: bool = Fal
 
 def _tree_reduce_hybrid(pts, axis: int, presteps: int = 3):
     """Axis tree-sum: `presteps` unrolled halving levels (work-efficient, tiny
-    trace) then one masked fori tree for the rest (constant trace size)."""
+    trace) then one masked fori tree for the rest (constant trace size).
+
+    On TPU the halving runs ALL the way down (work 2n lane-adds instead of the
+    masked fori's n log n — the fori keeps full width at every level, and at
+    B = 2^16 buckets that costs ~40% of the whole MSM's scan work); the
+    presteps cap only matters on XLA:CPU, where every unrolled add site is
+    ~40 s of single-core compile (test/dryrun budget)."""
+    from .field import _use_pallas
+
+    if _use_pallas():
+        presteps = pts[2].shape[axis].bit_length()
     for _ in range(presteps):
         n = pts[2].shape[axis]
         if n <= 2:
