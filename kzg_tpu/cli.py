@@ -80,7 +80,16 @@ def build_parser() -> argparse.ArgumentParser:
         "generated in one batched device program (one composite-key MSM bucket pass) "
         "and written to './artifacts/evaluations.json'.",
     )
-    ep.add_argument("x", type=_i128, nargs="+", help="Input point(s)")
+    ep.add_argument("x", type=_i128, nargs="*", default=[], help="Input point(s)")
+    ep.add_argument(
+        "--domain",
+        type=int,
+        default=None,
+        metavar="K",
+        help="Instead of explicit points, evaluate on the full 2^K NTT domain "
+        "(roots of unity) via one forward NTT, then batch-open every point in "
+        "one composite-key MSM pass (written to './artifacts/evaluations.json').",
+    )
 
     vp = sub.add_parser("verify-evaluation", help="Verify the previous evaluation with its proof")
     vp.add_argument(
@@ -178,6 +187,10 @@ def cmd_commit(args) -> None:
 
 
 def cmd_evaluate(args) -> None:
+    if args.domain is not None:
+        return _cmd_evaluate_domain(args)
+    if not args.x:
+        raise CliError("evaluate needs input point(s) or --domain K")
     if len(args.x) > 1:
         return _cmd_evaluate_batch(args)
     x = args.x[0]
@@ -227,6 +240,41 @@ def _cmd_evaluate_batch(args) -> None:
             x,
             ev.result,
         )
+
+
+def _cmd_evaluate_domain(args) -> None:
+    """Domain opening: evaluate on the 2^K roots-of-unity domain with ONE
+    forward NTT (O(n log n) Fr work total — the degree-scaling evaluation
+    engine; the reference recomputes x^i per term per point,
+    src/polynomial.rs:112-123), then open every domain point in one
+    composite-key MSM bucket pass."""
+    from .polynomial import generate_proofs_batch
+
+    k = args.domain
+    if args.x:
+        raise CliError("evaluate takes either input points or --domain, not both")
+    if not (0 <= k <= 16):
+        raise CliError("--domain K must be in [0, 16] (2^K evaluations)")
+    log.info("Starting to evaluate the committed polynomial on the 2^%d NTT domain", k)
+    setup = art.load_setup()
+    commitment_artifact = art.load_commitment()
+    evaluations = commitment_artifact.polynomial.evaluate_on_domain(k)
+    points = [ev.point for ev in evaluations]
+    ntt_evals, proofs = generate_proofs_batch(
+        commitment_artifact.polynomial, points, setup
+    )
+    # cross-check the NTT evaluations against the prover's recomputation
+    for a, b in zip(evaluations, ntt_evals):
+        assert a.result == b.result, "NTT evaluation mismatch vs prover path"
+    art.save_evaluations_batch(
+        [art.EvaluationArtifact(evaluation=ev, proof=pf) for ev, pf in zip(evaluations, proofs)]
+    )
+    log.info(
+        'Domain evaluation successful for polynomial "P(x) = %s": %d openings written to "%s"',
+        commitment_artifact.polynomial,
+        len(evaluations),
+        art.EVALUATIONS_BATCH_PATH,
+    )
 
 
 def cmd_verify_evaluation(args) -> None:

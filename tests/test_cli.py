@@ -93,3 +93,27 @@ def test_batch_evaluate_workflow(workdir, capsys):
     open(art.EVALUATIONS_BATCH_PATH, "w").write(json.dumps(eraw, separators=(",", ":")))
     assert cli.main(["verify-evaluation", "--all"]) == 1
     assert "The proof associated to the evaluation is incorrect." in capsys.readouterr().err
+
+
+def test_domain_evaluate_workflow(workdir):
+    """`evaluate --domain K`: NTT-evaluate on the 2^K roots-of-unity domain,
+    batch-open every point, verify all in one pairing call. K = 1 keeps the
+    domain tiny (2 points) for the CPU gate; the NTT results are cross-checked
+    against the exact oracle here and against the prover path inside the CLI."""
+    from kzg_tpu.scalar import Scalar
+    from kzg_tpu.trusted_setup import generate_setup
+    from kzg_tpu.utils import hostmath as hm
+
+    art.save_setup(generate_setup(Scalar.from_int(0xD04A1), 10))
+    assert cli.main(["commit", "--coefficients", "2", "1", "3"]) == 0
+    assert cli.main(["evaluate", "--domain", "1"]) == 0
+    eraw = json.loads(open(art.EVALUATIONS_BATCH_PATH).read())
+    assert len(eraw) == 2
+    for entry in eraw:
+        w = int.from_bytes(bytes(entry["evaluation"]["point"]), "little")
+        y = int.from_bytes(bytes(entry["evaluation"]["result"]), "little")
+        assert y == (2 + w + 3 * w * w) % hm.R
+    assert cli.main(["verify-evaluation", "--all"]) == 0
+    # points and --domain are mutually exclusive; missing both is an error
+    assert cli.main(["evaluate", "7", "--domain", "1"]) == 1
+    assert cli.main(["evaluate"]) == 1
