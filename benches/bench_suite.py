@@ -93,6 +93,8 @@ def main() -> int:
     (srs_x, srs_y), _ = cv.G1.to_affine(srs_jac)
     srs_x, srs_y = jax.block_until_ready((srs_x, srs_y))
 
+    _verify_setup = [None]  # built once, shared across degree points
+
     for degree in degrees:
         n = degree + 1
         coeffs = [pow(5, i, hm.R) + 10 for i in range(n)]
@@ -137,12 +139,16 @@ def main() -> int:
 
         if "verify" in suites:
             from kzg_tpu import Polynomial, Scalar, generate_setup
-            from kzg_tpu.ops import pairing as devpair
 
-            setup2 = generate_setup(Scalar.from_int(s_int), 2)
+            # ONE shared setup across all degrees: verification cost is
+            # degree-independent (2 pairings), and a fresh trusted setup per
+            # degree would swamp the measurement in harness cost. The witness
+            # polynomial is truncated to degree <= 9, so 11 artifacts cover
+            # every degree point.
+            if _verify_setup[0] is None:
+                _verify_setup[0] = generate_setup(Scalar.from_int(s_int), 11)
+            setup_full = _verify_setup[0]
             p = Polynomial.from_ints(coeffs[: min(n, 10)])
-            # verification cost is degree-independent (2 pairings); bench once per degree anyway
-            setup_full = generate_setup(Scalar.from_int(s_int), p.degree() + 2)
             c = p.commit(setup_full)
             ev = p.evaluate(Scalar.from_int(x_int))
             proof = ev.generate_proof(p, setup_full)
