@@ -125,3 +125,19 @@ def test_msm_fixed_many_matches_single(rng):
 @pytest.mark.slow
 def test_msm_fixed_many_matches_single_16bit(rng):
     _msm_many_case(rng, window_bits=16)
+
+
+def test_generate_proofs_batch_blocked_matches_unblocked(setup9, rng, monkeypatch):
+    """Point-axis blocking (the --domain >16 enabler): forcing a tiny block
+    size (3) over 8 points — with a padded ragged tail — must give exactly the
+    unblocked results."""
+    import kzg_tpu.polynomial as polymod
+
+    coeffs = [rng.randrange(hm.R) for _ in range(7)]
+    poly = Polynomial.from_ints(coeffs)
+    points = [Scalar.from_int(rng.randrange(hm.R)) for _ in range(8)]
+    evs_u, proofs_u = generate_proofs_batch(poly, points, setup9)
+    monkeypatch.setattr(polymod, "_proofs_point_block", lambda n, s: 3)
+    evs_b, proofs_b = generate_proofs_batch(poly, points, setup9)
+    assert [e.result for e in evs_b] == [e.result for e in evs_u]
+    assert proofs_b == proofs_u

@@ -16,7 +16,9 @@ def workdir(tmp_path, monkeypatch):
     return tmp_path
 
 
-@pytest.mark.slow
+# Deliberately NOT marked slow: this is the one end-to-end pairing
+# verification the fast gate/CI always executes (round-3 verdict item 5) —
+# the persistent compile cache keeps repeats cheap.
 def test_full_workflow(workdir, capsys):
     assert cli.main(["trusted-setup"]) == 0
     setup_raw = json.loads(open(art.SETUP_ARTIFACTS_PATH).read())
