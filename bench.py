@@ -96,8 +96,11 @@ def main() -> int:
 
     # Above 2^18 points the single-shot pipeline's sorted copies + prefix
     # runs approach a v5e's HBM; the blocked variant bounds peak memory and
-    # reuses one set of stage programs across blocks.
-    block = 1 << 18
+    # reuses one set of stage programs across blocks. 2^16 blocks reuse the
+    # EXACT stage-program shapes of the n=65536 bench (zero extra AOT
+    # compiles on the tunneled backend, whose cold compiles run minutes);
+    # override via argv[3] when exploring larger blocks.
+    block = int(sys.argv[3]) if len(sys.argv) > 3 else (1 << 16)
 
     def run():
         out = msmops.msm_g1_fixed_blocked(tables, scalars, block=block)

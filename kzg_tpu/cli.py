@@ -253,8 +253,8 @@ def _cmd_evaluate_domain(args) -> None:
     k = args.domain
     if args.x:
         raise CliError("evaluate takes either input points or --domain, not both")
-    if not (0 <= k <= 16):
-        raise CliError("--domain K must be in [0, 16] (2^K evaluations)")
+    if not (0 <= k <= 20):
+        raise CliError("--domain K must be in [0, 20] (2^K evaluations)")
     log.info("Starting to evaluate the committed polynomial on the 2^%d NTT domain", k)
     setup = art.load_setup()
     commitment_artifact = art.load_commitment()

@@ -28,6 +28,7 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .field import FP, FR
 from . import fp2
@@ -120,7 +121,13 @@ def _digits8(k: jnp.ndarray) -> jnp.ndarray:
 def mul_gen(curve: JacobianCurve, k: jnp.ndarray, tables=None):
     """[k] * G for the curve generator. k: (16, *batch) standard-form Fr limbs.
     Returns a Jacobian triple with batch shape *batch. Identical group results
-    to curve.mul_scalar_affine(GEN, k) — the ladder is baked into the tables."""
+    to curve.mul_scalar_affine(GEN, k) — the ladder is baked into the tables.
+
+    The 32 gathered window entries fold into the accumulator with ONE traced
+    mixed-add site under lax.fori_loop: 31 madds per point (work-optimal) vs
+    the masked-roll tree reduction's ~160 full adds + whole-array rolls per
+    level (the round-3 ceremony bottleneck). Digit-0 windows (table entry
+    stored as zeros) are skipped by selecting the old accumulator back."""
     if tables is None:
         tables = gen_tables(curve)
     tx, ty = tables
@@ -134,15 +141,27 @@ def mul_gen(curve: JacobianCurve, k: jnp.ndarray, tables=None):
     dfe = jnp.broadcast_to(df.reshape((1,) * cd + (GEN_WINDOWS, nb)), tx.shape[:-1] + (nb,))
     x = jnp.take_along_axis(tx, dfe, axis=cd + 1)  # (L[,2], W, nb)
     y = jnp.take_along_axis(ty, dfe, axis=cd + 1)
-    nz = (df != 0).reshape((1,) * cd + (GEN_WINDOWS, nb))
-    if curve is G1:
-        one = jnp.asarray(FP.ONE_MONT).reshape(FP.L, 1, 1)
-    else:
-        one = jnp.asarray(fp2.from_ints((1, 0))).reshape(FP.L, 2, 1, 1)
-    z = jnp.where(nz, jnp.broadcast_to(one, x.shape), jnp.zeros_like(x))
-    from .msm import tree_reduce
+    nzf = df != 0  # (W, nb)
 
-    out = tree_reduce(curve, (x, y, z), axis=cd)  # reduce the window axis
+    x0 = lax.index_in_dim(x, 0, axis=cd, keepdims=False)
+    y0 = lax.index_in_dim(y, 0, axis=cd, keepdims=False)
+    if curve is G1:
+        one = jnp.broadcast_to(jnp.asarray(FP.ONE_MONT)[:, None], x0.shape)
+    else:
+        one = jnp.broadcast_to(jnp.asarray(fp2.from_ints((1, 0)))[:, :, None], x0.shape)
+    z0 = jnp.where(nzf[0][(None,) * cd], one, jnp.zeros_like(x0))
+    acc0 = (x0, jnp.where(nzf[0][(None,) * cd], y0, jnp.zeros_like(y0)), z0)
+
+    def body(w, acc):
+        qx = lax.dynamic_index_in_dim(x, w, axis=cd, keepdims=False)
+        qy = lax.dynamic_index_in_dim(y, w, axis=cd, keepdims=False)
+        nz = lax.dynamic_index_in_dim(nzf, w, axis=0, keepdims=False)
+        # digit-0 lanes feed garbage (0, 0) into the madd; their output is
+        # discarded by the select, so only valid table entries ever land
+        added = curve.madd(acc, (qx, qy))
+        return curve.select(nz, added, acc)
+
+    out = lax.fori_loop(1, GEN_WINDOWS, body, acc0)
     return tuple(c.reshape(c.shape[:cd] + batch) for c in out)
 
 

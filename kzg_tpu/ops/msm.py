@@ -579,6 +579,33 @@ def _fb_combine_jit(v0, v1, v2, h: int):
     return tuple(c[:, 0] for c in out)
 
 
+def _fb_buckets(tables, digits, nt: int, chunk: int | None, window_bits: int):
+    """Bucket sums S_b for one table slice: sort -> scan -> offsets ->
+    extract. Returns a Jacobian triple of shape (L, B)."""
+    tx, ty = tables
+    windows = 256 // window_bits
+    P = windows * nt
+    m = fb_chunk_size(P, chunk)
+    xs_s, ys_s, ds = _fb_sort_jit(tx, ty, digits, nt, window_bits)
+    runs_flat, totals = _fb_scan_cond_jit(xs_s, ys_s, m)
+    off = _fb_offsets_jit(*totals)
+    return _fb_extract_jit(runs_flat, off, ds, m, window_bits)
+
+
+def _fb_reduce(S, window_bits: int):
+    """Weighted bucket reduction sum_b b*S_b + window combine (runs ONCE per
+    MSM — bucket sums from blocked table slices compose by plain addition)."""
+    W = _fb_grid_trees_jit(*S)
+    ws = _fb_suffix_weighted_jit(*W)
+    return _fb_combine_jit(*ws, window_bits // 2)
+
+
+@jax.jit
+def _fb_bucket_add_jit(a0, a1, a2, b0, b1, b2):
+    """Accumulate per-block bucket sums: ONE batched Jacobian add over B lanes."""
+    return G1.add((a0, a1, a2), (b0, b1, b2))
+
+
 def msm_g1_fixed(tables, scalars, inf_mask=None, chunk: int | None = None,
                  window_bits: int = FB_WINDOW_BITS):
     """G1 MSM against precomputed fixed-base tables (precompute_g1_tables).
@@ -595,16 +622,8 @@ def msm_g1_fixed(tables, scalars, inf_mask=None, chunk: int | None = None,
         digits = jnp.where(jnp.asarray(inf_mask)[None], 0, digits)
     if n < nt:
         digits = jnp.pad(digits, [(0, 0), (0, nt - n)])
-    P = windows * nt
-    m = fb_chunk_size(P, chunk)
-
-    xs_s, ys_s, ds = _fb_sort_jit(tx, ty, digits, nt, window_bits)
-    runs_flat, totals = _fb_scan_cond_jit(xs_s, ys_s, m)
-    off = _fb_offsets_jit(*totals)
-    S = _fb_extract_jit(runs_flat, off, ds, m, window_bits)
-    W = _fb_grid_trees_jit(*S)
-    ws = _fb_suffix_weighted_jit(*W)
-    return _fb_combine_jit(*ws, window_bits // 2)
+    S = _fb_buckets((tx, ty), digits, nt, chunk, window_bits)
+    return _fb_reduce(S, window_bits)
 
 
 def _fb_scan_traced(xs_s, ys_s, m: int):
@@ -667,7 +686,6 @@ def msm_g1_fixed_blocked(tables, scalars, inf_mask=None, block: int = 1 << 18,
         return msm_g1_fixed(tables, scalars, inf_mask, chunk, window_bits)
     if nt % block:
         raise ValueError("block must divide the table width")
-    parts = []
     base = np.arange(windows, dtype=np.int64)[:, None] * nt
     if inf_mask is not None:
         # align the mask with the scalar axis: a partially-covering mask must
@@ -676,15 +694,24 @@ def msm_g1_fixed_blocked(tables, scalars, inf_mask=None, block: int = 1 << 18,
         im = np.asarray(inf_mask)
         if im.shape[0] < n:
             im = np.pad(im, (0, n - im.shape[0]))
+    # Per block: bucket sums only (sort/scan/extract). Bucket arrays compose
+    # by plain addition across table slices, so the weighted bucket reduction
+    # (grid trees + suffix + combine, ~3 stage programs of B-lane point work)
+    # runs ONCE for the whole MSM instead of once per block.
+    S_acc = None
     for lo in range(0, min(n, nt), block):
         hi = min(lo + block, nt)
         idx = (base + np.arange(lo, hi, dtype=np.int64)[None, :]).ravel()
         txb, tyb = tx[:, idx], ty[:, idx]
         kb = scalars[..., lo:hi]
-        imb = im[lo : lo + kb.shape[-1]] if inf_mask is not None else None
-        parts.append(msm_g1_fixed((txb, tyb), kb, imb, chunk, window_bits))
-    stacked = tuple(jnp.stack([p[k] for p in parts], axis=-1) for k in range(3))
-    return tree_reduce(G1, stacked, axis=-1)
+        digits = _fb_digits(kb, window_bits)
+        if inf_mask is not None:
+            digits = jnp.where(jnp.asarray(im[lo:hi])[None], 0, digits)
+        if digits.shape[-1] < block:
+            digits = jnp.pad(digits, [(0, 0), (0, block - digits.shape[-1])])
+        S = _fb_buckets((txb, tyb), digits, block, chunk, window_bits)
+        S_acc = S if S_acc is None else _fb_bucket_add_jit(*S_acc, *S)
+    return _fb_reduce(S_acc, window_bits)
 
 
 # ---------------------------------------------------------------------------

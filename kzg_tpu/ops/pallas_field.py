@@ -274,16 +274,35 @@ def _mul_cols_stack(a, b, L: int, out_len: int):
     return _pad_rows_to(arr, off, out_len)
 
 
+# Column-sum engine inside the fused kernels: the VPU merge tree
+# (_mul_cols_stack, default) or the MXU selection-matrix matmuls
+# (_mul_cols_dot, opt-in via KZG_TPU_MXU_MUL=1). Both produce bit-identical
+# u32 columns (the dot path is exact: 16-bit product halves and < 2^22 column
+# sums are exact in f32 under HIGHEST precision). The dot path is NOT the
+# default because Mosaic's compile of the matmul-bearing scan kernel ran
+# > 20 minutes on the tunneled v5e backend (round-4 A/B attempt) — revisit
+# when kernel compiles are local.
+import os as _os
+
+_USE_DOT_COLS = _os.environ.get("KZG_TPU_MXU_MUL") == "1"
+
+
+def _mul_cols(a, b, L: int, out_len: int):
+    if _USE_DOT_COLS:
+        return _mul_cols_dot(a, b, L, out_len)
+    return _mul_cols_stack(a, b, L, out_len)
+
+
 def mont_mul_stack(a, b, modulus: int, n_prime: int, L: int):
     """Fused Montgomery multiply on (L, T) blocks, sublane-vectorized.
     Bit-identical results to mont_mul_block."""
     N = _limbs_of(modulus, L)
     NP = _limbs_of(n_prime, L)
-    t_cols = _mul_cols_stack(a, b, L, 2 * L)
+    t_cols = _mul_cols(a, b, L, 2 * L)
     t_rows, _ = _carry_stack(t_cols, 2 * L)
-    m_cols = _mul_cols_stack(t_rows[:L], _const_col(NP, a), L, L)
+    m_cols = _mul_cols(t_rows[:L], _const_col(NP, a), L, L)
     m_rows, _ = _carry_stack(m_cols, L)
-    u_cols = _mul_cols_stack(m_rows, _const_col(N, a), L, 2 * L)
+    u_cols = _mul_cols(m_rows, _const_col(N, a), L, 2 * L)
     s_cols = t_rows + u_cols
     s_rows, carry = _carry_stack(s_cols, 2 * L)
     hi = s_rows[L:]

@@ -296,6 +296,18 @@ class Evaluation:
         return f"Evaluation(point={self.point}, result={self.result})"
 
 
+def _proofs_point_block(n: int, setup_artifacts) -> int:
+    """Max points per device program: bounds the (16, n-1, kb) quotient-scan
+    working set AND the composite-key MSM's pair count (16 * nt * kb)."""
+    from .trusted_setup import DeviceSRS
+
+    kb = max(1, (1 << 21) // max(1, n - 1))
+    if isinstance(setup_artifacts, DeviceSRS):
+        nt = 1 << max(6, (setup_artifacts.count - 1).bit_length())
+        kb = min(kb, max(1, (1 << 22) // (16 * nt)))
+    return kb
+
+
 def generate_proofs_batch(polynomial: Polynomial, points: list[Scalar],
                           setup_artifacts) -> tuple[list[Evaluation], list[G1Point]]:
     """Commit-once, open-at-many-points: evaluations y_j = P(x_j) and opening
@@ -303,11 +315,30 @@ def generate_proofs_batch(polynomial: Polynomial, points: list[Scalar],
     divisions run as ONE batched associative scan and the k quotient MSMs run
     as ONE composite-key fixed-base bucket pass (ops.msm.msm_g1_fixed_many).
 
+    Unbounded point counts: blocks of `_proofs_point_block` points run through
+    one fixed-shape set of device programs (the tail block is padded by
+    repeating the last point and sliced back), so memory stays bounded and no
+    ragged-tail recompile is triggered — `evaluate --domain K` scales to 2^20
+    domains.
+
     Per-item results match Evaluation.generate_proof exactly
     (src/polynomial.rs:260-269 semantics, batched)."""
     if not points:
         return [], []
     n = polynomial.num_coefficients
+    kb = _proofs_point_block(n, setup_artifacts)
+    if len(points) > kb:
+        evs: list = []
+        prs: list = []
+        for lo in range(0, len(points), kb):
+            blk = points[lo : lo + kb]
+            npad = kb - len(blk)
+            if npad:
+                blk = blk + [blk[-1]] * npad
+            e, p = generate_proofs_batch(polynomial, blk, setup_artifacts)
+            evs.extend(e if not npad else e[: kb - npad])
+            prs.extend(p if not npad else p[: kb - npad])
+        return evs, prs
     if polynomial.degree() + 1 > len(setup_artifacts):
         raise ProtocolError(
             "Setup does not allow for commitment generation of the polynomial. The polynomial degree is too high."
@@ -331,7 +362,12 @@ def generate_proofs_batch(polynomial: Polynomial, points: list[Scalar],
     ]
     scalars = FR.from_mont(quotients)  # (16, n-1, k) standard-form
 
-    if isinstance(setup_artifacts, DeviceSRS) and n - 1 >= msmops.FIXED_BASE_THRESHOLD:
+    if isinstance(setup_artifacts, DeviceSRS) and (
+        n - 1 >= msmops.FIXED_BASE_THRESHOLD
+        # the composite-key bucket pass amortizes its fixed cost across the k
+        # MSMs, so it also wins for small degrees once the BATCH is large
+        or (n - 1) * len(points) >= msmops.FIXED_BASE_THRESHOLD
+    ):
         # one composite-key bucket pass for all k quotient MSMs
         jac = msmops.msm_g1_fixed_many(setup_artifacts.fixed_tables(), scalars)
         proofs = [G1Point(tuple(c[:, j] for c in jac)) for j in range(len(points))]
