@@ -194,6 +194,59 @@ def main() -> int:
         res["ok"] = False
         print("[smoke] ERROR: P == Q lane did not trip the fast-scan flag", file=sys.stderr)
 
+    # 4. packed-stream scan kernels (x | y << 16 word stream)
+    pk = jnp.moveaxis((sx | (sy << 16)).reshape(FP.L, C, m), 2, 0)
+    check("scan_prefix_madd_packed", lambda: pm.scan_prefix_madd_packed(pk, m, blk=256),
+          scan_ref)
+
+    def fast_packed():
+        runs, flag = pm.scan_prefix_madd_fast_packed(pk, m, blk=256)
+        return lax.cond(
+            flag > 0, lambda: pm.scan_prefix_madd_packed(pk, m, blk=256), lambda: runs
+        )
+
+    check("scan_prefix_madd_fast_packed", fast_packed, scan_ref)
+
+    # 5. fused Hillis-Steele point scans (offsets / suffix-weighted stages)
+    import kzg_tpu.ops.msm as msmops
+
+    def hs_ref(rev, exc):
+        import kzg_tpu.ops.field as fieldmod
+
+        old = fieldmod._USE_PALLAS
+        fieldmod._USE_PALLAS = False
+        try:
+            out = msmops._hs_scan_points((px, py, one), axis=1, reverse=rev,
+                                         exclusive=exc)
+        finally:
+            fieldmod._USE_PALLAS = old
+        return out
+
+    check("hs_scan_prefix_excl",
+          lambda: pm.hs_scan_points(px, py, one, False, True),
+          lambda: hs_ref(False, True))
+    check("hs_scan_suffix",
+          lambda: pm.hs_scan_points(px, py, one, True, False),
+          lambda: hs_ref(True, False))
+
+    # 6. fused doubling chain (window-combine shift)
+    def dbl_ref():
+        import kzg_tpu.ops.field as fieldmod
+
+        old = fieldmod._USE_PALLAS
+        fieldmod._USE_PALLAS = False
+        try:
+            acc = (px[:, :128], py[:, :128], one[:, :128])
+            for _ in range(5):
+                acc = cv.JacobianCurve(cv.G1.F, "G1").double(acc)
+        finally:
+            fieldmod._USE_PALLAS = old
+        return acc
+
+    check("double_chain",
+          lambda: pm.double_chain(px[:, :128], py[:, :128], one[:, :128], 5),
+          dbl_ref)
+
     print(json.dumps(res))
     return 0 if res["ok"] else 1
 

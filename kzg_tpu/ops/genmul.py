@@ -139,6 +139,20 @@ def mul_gen(curve: JacobianCurve, k: jnp.ndarray, tables=None):
     nb = int(np.prod(batch, dtype=np.int64)) if batch else 1
     df = d.reshape(GEN_WINDOWS, nb)  # (W, nb)
     dfe = jnp.broadcast_to(df.reshape((1,) * cd + (GEN_WINDOWS, nb)), tx.shape[:-1] + (nb,))
+
+    from .field import _use_pallas
+
+    if curve is G1 and _use_pallas() and nb >= 64 and nb % 64 == 0:
+        # Fused TPU path: ONE packed gather (x | y << 16 halves the
+        # element-bound gather cost) + ONE fold kernel instead of 31
+        # madd+select launches. Digit-0 entries are the (0, 0) sentinel the
+        # kernel skips. Identical group results to the fori_loop path.
+        from . import pallas_msm
+
+        pk = jnp.take_along_axis(tx | (ty << 16), dfe, axis=cd + 1)  # (L, W, nb)
+        out = pallas_msm.fold_madd_packed(jnp.moveaxis(pk, 1, 0))
+        return tuple(c.reshape(c.shape[:1] + batch) for c in out)
+
     x = jnp.take_along_axis(tx, dfe, axis=cd + 1)  # (L[,2], W, nb)
     y = jnp.take_along_axis(ty, dfe, axis=cd + 1)
     nzf = df != 0  # (W, nb)

@@ -306,10 +306,24 @@ def _hs_scan_points(pts, axis: int, reverse: bool = False, exclusive: bool = Fal
 
     ONE fori_loop whose body is a single batched add with a dynamic roll
     (constant trace size — an unrolled log-N chain of G1 adds makes XLA
-    compile time explode). Rolled-around lanes are masked to the identity."""
+    compile time explode). Rolled-around lanes are masked to the identity.
+
+    On TPU, last-axis scans run as ONE fused Pallas kernel instead
+    (pallas_msm.hs_scan_points, bit-identical adds in the same order): the
+    XLA formulation is launch-bound — log2(n) separate point-add programs
+    for tiny point counts."""
     n = pts[2].shape[axis]
     if n == 1:
         return _shift_points(pts, 1, axis) if exclusive else pts
+    from .field import _use_pallas
+
+    ax = axis % pts[2].ndim
+    if _use_pallas() and ax == pts[2].ndim - 1:
+        from . import pallas_msm
+
+        return pallas_msm.hs_scan_points(
+            *pts, reverse=reverse, exclusive=exclusive
+        )
     levels = (n - 1).bit_length()
     iota = lax.broadcasted_iota(jnp.uint32, pts[2].shape[G1._cdim():], axis - G1._cdim())
 
@@ -450,6 +464,181 @@ def _fb_digits(scalars: jnp.ndarray, window_bits: int) -> jnp.ndarray:
 # Pallas kernel), and a single whole-MSM program gets the compile helper
 # killed. Each stage below has at most ~3 point-kernel call sites and a fixed
 # shape per (n2, window_bits), so stages compile once and are reused.
+#
+# Signed-digit variant (the production default for 16-bit windows): rewrite
+# k = sum_w e_w 2^(16w) with e_w in (-2^15, 2^15], mapping a pair with a
+# negative digit to bucket |e| of the NEGATED table point (y -> p - y, one
+# elementwise pass). Bucket space shrinks from 2^16 to 2^15 + 1: the
+# B-proportional stages (extraction gathers + adds, digit-grid reduction)
+# cost half, while sort/scan work is unchanged. The weighted reduction then
+# splits b = 2^10 u + 2^5 v + w (u, v, w < 32) into a 3-axis digit grid:
+# work-efficient axis tree-sums at 3 * 2^15 lane-adds (vs 2 * 2^16 for the
+# unsigned square grid) and a 3-level Horner combine.
+
+
+def _fb_digits_signed(scalars: jnp.ndarray):
+    """(16, N) standard-form u16 limb rows -> (abs, neg): 16 signed window
+    digits e_w with |e_w| <= 2^15, sum_w e_w 2^(16w) == k. abs is u32 in
+    [0, 2^15], neg marks negative digits. The top window never carries out
+    (r < 2^255 keeps d_15 + 1 < 2^15)."""
+    W = scalars.shape[0]
+    absd, negd = [], []
+    carry = jnp.zeros(scalars.shape[1:], jnp.uint32)
+    for w in range(W):
+        e = scalars[w] + carry  # <= 2^16
+        neg = e > jnp.uint32(1 << 15)
+        absd.append(jnp.where(neg, jnp.uint32(1 << 16) - e, e))
+        negd.append(neg)
+        carry = neg.astype(jnp.uint32)
+    return jnp.stack(absd, axis=0), jnp.stack(negd, axis=0)
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _fbs_sort_jit(tx, ty, absd, negd, nt: int, m: int):
+    """Signed sort stage: pairs key-sorted by |digit|, table y negated on
+    negative-digit lanes (p - y, exact: table points never have y == 0).
+
+    The point pair is PACKED x | y << 16 into one (L, P) word array before
+    the gather (canonical base-2^16 limbs are < 2^16): TPU gathers are
+    element-count-bound (~0.7G elem/s measured on v5e), so packing halves
+    the dominant sort cost. Returns the scan-layout packed stream (m, L, C)
+    plus the sorted digits."""
+    P = FB_WINDOWS * nt
+    C = P // m
+    flat = absd.reshape(P)
+    order = jnp.argsort(flat)
+    ds = flat[order]
+    neg_s = negd.reshape(P)[order]
+    pks = (tx | (ty << 16))[:, order]  # ONE packed gather
+    ysn = FP.neg(pks >> 16)
+    pks = jnp.where(neg_s[None, :], (pks & jnp.uint32(0xFFFF)) | (ysn << 16), pks)
+    pk = jnp.moveaxis(pks.reshape(FP.L, C, m), 2, 0)
+    return pk, ds
+
+
+def _fbs_scan_traced(pk, m: int):
+    """Packed-stream scan (see _fb_scan_traced): fast Pallas kernel with an
+    in-graph exact fallback on TPU; unpack + lax.scan on CPU."""
+    C = pk.shape[2]
+
+    from .field import _use_pallas
+
+    if _use_pallas() and C >= 64:
+        from . import pallas_msm
+
+        runs, flag = pallas_msm.scan_prefix_madd_fast_packed(pk, m, blk=1024)
+        runs = lax.cond(
+            flag > 0,
+            lambda: pallas_msm.scan_prefix_madd_packed(pk, m, blk=1024),
+            lambda: runs,
+        )
+    else:
+        xs = pk & jnp.uint32(0xFFFF)
+        ys = pk >> 16
+
+        def step(run, q):
+            nr = G1.madd(run, q)
+            return nr, nr
+
+        init = tuple(jnp.zeros((FP.L, C), jnp.uint32) for _ in range(3))
+        _, runs = lax.scan(step, init, (xs, ys))
+    return _fb_runs_reshape(runs, m)
+
+
+_fbs_scan_jit = jax.jit(_fbs_scan_traced, static_argnums=(1,))
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _fbs_extract_jit(runs_flat, off, ds, m: int):
+    """Bucket sums for b in [0, 2^15] from global prefix differences
+    (same prefix-difference identity as _fb_extract_jit)."""
+    B = (1 << 15) + 1
+    lpos = jnp.searchsorted(ds, jnp.arange(B, dtype=ds.dtype), side="right") - 1
+    valid = lpos >= 0
+    lc = jnp.maximum(lpos, 0).astype(jnp.int32)
+    U = tuple(r[:, lc] for r in runs_flat)
+    cidx = lc // m
+    O = tuple(o[:, cidx] for o in off)
+    V = G1.add(U, O)
+    V = G1.select(valid, V, G1.inf_like(V))
+    return G1.add(V, G1.neg(_shift_points(V, 1, axis=1)))  # (L, 2^15 + 1)
+
+
+@jax.jit
+def _fbs_grid_trees_jit(s0, s1, s2):
+    """3-axis digit-grid reduction of the signed bucket array: for
+    b = 2^10 u + 2^5 v + w, compute A_u, B_v, C_w (each the grid sum over the
+    other two axes) in ONE stacked (L, 3, 32, 1024) tree reduction. The top
+    bucket S[2^15] rides along as a 4th stacked row (lane 0 of a padded row)
+    so this stage stays a single point-kernel program."""
+    S = (s0, s1, s2)
+    side = 32
+    flat = side * side  # 1024
+
+    def grids(c):
+        g = c[:, : 1 << 15].reshape(c.shape[0], side, side, side)  # [u, v, w]
+        a = g.reshape(c.shape[0], side, flat)
+        b = jnp.swapaxes(g, 1, 2).reshape(c.shape[0], side, flat)
+        w = jnp.moveaxis(g, 3, 1).reshape(c.shape[0], side, flat)
+        top = jnp.zeros_like(a)
+        top = top.at[:, 0, 0].set(c[:, 1 << 15])
+        return jnp.stack([a, b, w, top], axis=1)  # (L, 4, 32, 1024)
+
+    both = tuple(grids(c) for c in S)
+    return _tree_reduce_hybrid(both, axis=3, presteps=2)  # (L, 4, 32)
+
+
+@jax.jit
+def _fbs_suffix_weighted_jit(w0, w1, w2):
+    """sum_k k * row_k for the stacked A/B/C rows; the top-bucket row (index
+    3) holds S_top in lane 0 only, and 0 * S_top = identity is then wrong —
+    so lane 0 is re-added after the weighted sum to keep S_top itself.
+
+    On TPU the two scans under _suffix_weighted_points run as fused Pallas
+    kernels via hs_scan_points (identical results)."""
+    ws = _suffix_weighted_points((w0, w1, w2), axis=2)  # (L, 4)
+    top = tuple(c[:, 3, 0] for c in (w0, w1, w2))
+    fixed_top = G1.add(tuple(c[:, 3] for c in ws), top)
+    return tuple(
+        jnp.concatenate([c[:, :3], f[:, None]], axis=1)
+        for c, f in zip(ws, fixed_top)
+    )
+
+
+@jax.jit
+def _fbs_combine_jit(v0, v1, v2):
+    """Horner over the 3 grid axes + the top bucket:
+    result = ((((S_top * 2^5) + WA) * 2^5 + WB) * 2^5 + WC), i.e.
+    2^15 S_top + 2^10 WA + 2^5 WB + WC. Doublings run on a 128-wide
+    broadcast so the point ops stay in the fused kernels."""
+    ws = (v0, v1, v2)
+    wide = 128
+
+    def bcol(j):
+        return tuple(jnp.broadcast_to(c[:, j : j + 1], (c.shape[0], wide)) for c in ws)
+
+    acc = bcol(3)  # S_top
+    for j in range(3):
+        acc = lax.fori_loop(0, 5, lambda _, a: G1.double(a), acc)
+        acc = G1.add(acc, bcol(j))
+    return tuple(c[:, 0] for c in acc)
+
+
+def _fbs_buckets(tables, absd, negd, nt: int, chunk: int | None):
+    """Signed bucket sums S_b, b in [0, 2^15]: packed sort -> packed scan ->
+    offsets -> extract. Returns a Jacobian triple of shape (L, 2^15 + 1)."""
+    P = FB_WINDOWS * nt
+    m = fb_chunk_size(P, chunk)
+    pk, ds = _fbs_sort_jit(tables[0], tables[1], absd, negd, nt, m)
+    runs_flat, totals = _fbs_scan_jit(pk, m)
+    off = _fb_offsets_jit(*totals)
+    return _fbs_extract_jit(runs_flat, off, ds, m)
+
+
+def _fbs_reduce(S):
+    W = _fbs_grid_trees_jit(*S)
+    ws = _fbs_suffix_weighted_jit(*W)
+    return _fbs_combine_jit(*ws)
 
 
 @partial(jax.jit, static_argnums=(3, 4))
@@ -606,17 +795,44 @@ def _fb_bucket_add_jit(a0, a1, a2, b0, b1, b2):
     return G1.add((a0, a1, a2), (b0, b1, b2))
 
 
+import os as _os
+
+# Signed digits are the default for the 16-bit fixed-base path; the unsigned
+# pipeline remains for 8-bit windows (sharded/dryrun shapes) and as an
+# explicit fallback (KZG_TPU_UNSIGNED_FB=1).
+_SIGNED_FB = _os.environ.get("KZG_TPU_UNSIGNED_FB") != "1"
+
+
+def _fbs_digit_arrays(scalars, inf_mask, nt: int):
+    """Standard-form scalars -> padded (abs, neg) signed window digits."""
+    n = scalars.shape[-1]
+    absd, negd = _fb_digits_signed(scalars)
+    if inf_mask is not None:
+        im = jnp.asarray(inf_mask)[None]
+        absd = jnp.where(im, 0, absd)
+        negd = jnp.where(im, False, negd)
+    if n < nt:
+        absd = jnp.pad(absd, [(0, 0), (0, nt - n)])
+        negd = jnp.pad(negd, [(0, 0), (0, nt - n)])
+    return absd, negd
+
+
 def msm_g1_fixed(tables, scalars, inf_mask=None, chunk: int | None = None,
                  window_bits: int = FB_WINDOW_BITS):
     """G1 MSM against precomputed fixed-base tables (precompute_g1_tables).
 
     scalars: (16, N) standard-form Fr limbs — with the default 16-bit windows
-    the limbs ARE the window digits. Identical group result to msm_g1 on the
-    same points (the window shifts are baked into the tables)."""
+    the limbs ARE the window digits (rewritten to signed digits with half the
+    bucket space on the production path). Identical group result to msm_g1 on
+    the same points (the window shifts are baked into the tables)."""
     tx, ty = tables
     windows = 256 // window_bits
     nt = tx.shape[1] // windows
     n = scalars.shape[-1]
+    if window_bits == 16 and _SIGNED_FB:
+        absd, negd = _fbs_digit_arrays(scalars, inf_mask, nt)
+        S = _fbs_buckets((tx, ty), absd, negd, nt, chunk)
+        return _fbs_reduce(S)
     digits = _fb_digits(scalars, window_bits)
     if inf_mask is not None:
         digits = jnp.where(jnp.asarray(inf_mask)[None], 0, digits)
@@ -698,20 +914,26 @@ def msm_g1_fixed_blocked(tables, scalars, inf_mask=None, block: int = 1 << 18,
     # by plain addition across table slices, so the weighted bucket reduction
     # (grid trees + suffix + combine, ~3 stage programs of B-lane point work)
     # runs ONCE for the whole MSM instead of once per block.
+    signed = window_bits == 16 and _SIGNED_FB
     S_acc = None
     for lo in range(0, min(n, nt), block):
         hi = min(lo + block, nt)
         idx = (base + np.arange(lo, hi, dtype=np.int64)[None, :]).ravel()
         txb, tyb = tx[:, idx], ty[:, idx]
         kb = scalars[..., lo:hi]
-        digits = _fb_digits(kb, window_bits)
-        if inf_mask is not None:
-            digits = jnp.where(jnp.asarray(im[lo:hi])[None], 0, digits)
-        if digits.shape[-1] < block:
-            digits = jnp.pad(digits, [(0, 0), (0, block - digits.shape[-1])])
-        S = _fb_buckets((txb, tyb), digits, block, chunk, window_bits)
+        mb = jnp.asarray(im[lo:hi]) if inf_mask is not None else None
+        if signed:
+            absd, negd = _fbs_digit_arrays(kb, mb, block)
+            S = _fbs_buckets((txb, tyb), absd, negd, block, chunk)
+        else:
+            digits = _fb_digits(kb, window_bits)
+            if mb is not None:
+                digits = jnp.where(mb[None], 0, digits)
+            if digits.shape[-1] < block:
+                digits = jnp.pad(digits, [(0, 0), (0, block - digits.shape[-1])])
+            S = _fb_buckets((txb, tyb), digits, block, chunk, window_bits)
         S_acc = S if S_acc is None else _fb_bucket_add_jit(*S_acc, *S)
-    return _fb_reduce(S_acc, window_bits)
+    return _fbs_reduce(S_acc) if signed else _fb_reduce(S_acc, window_bits)
 
 
 # ---------------------------------------------------------------------------

@@ -151,9 +151,27 @@ def _shift_rows_down(x, k: int):
 
 def _carry_stack(cols, R: int):
     """Stacked carry normalization: (R, T) columns < 2^32 -> (rows in
-    [0, 2^16), carry_out (T,)). Bit-identical to _carry_rows."""
+    [0, 2^16), carry_out (T,)). Same canonical output as _carry_rows (the
+    normalized digit representation is unique)."""
     s1 = (cols & MASK16) + _shift_rows_down(cols >> 16, 1)
     c1 = cols[R - 1] >> 16
+    if int(R) <= 64:
+        # Every call site bounds its columns < 2^22 (schoolbook column sums
+        # of <= 2*24 16-bit product halves, or 2-3-term adds < 2^18), so one
+        # normalization pass leaves carries already in {0, 1}: the second
+        # pass of the general circuit is dead. Kogge-Stone resolves the
+        # {0,1}-carry chains directly on s1 (propagate = low half == 0xFFFF,
+        # generate = s1 >> 16).
+        g = s1 >> 16
+        p = ((s1 & MASK16) == MASK16).astype(jnp.uint32)
+        d = 1
+        while d < R:
+            g = g | (p & _shift_rows_down(g, d))
+            p = p & _shift_rows_down(p, d)
+            d *= 2
+        rows = (s1 + _shift_rows_down(g, 1)) & MASK16
+        carry = c1 + g[R - 1]
+        return rows, carry
     s2 = (s1 & MASK16) + _shift_rows_down(s1 >> 16, 1)
     c2 = s1[R - 1] >> 16
     g = s2 >> 16
@@ -242,23 +260,34 @@ def _pad_rows_to(x, k: int, h: int):
 
 
 def _mul_cols_stack(a, b, L: int, out_len: int):
-    """Schoolbook column sums via a log-depth merge tree of statically
-    shifted plane adds — pure u32 (no MXU, no float converts).
+    """Schoolbook column sums via paired-offset plane adds + a log-depth
+    merge tree — pure u32 (no MXU, no float converts).
 
     The outer product p[i, j] = a_i * b_j contributes its 16-bit lo half to
-    column i+j and its hi half to column i+j+1. Each row-plane p[i] (indexed
-    by j) is therefore a (L, T) block whose column offset is i (lo) or i+1
-    (hi); summing all 2L planes with their offsets yields the column sums.
-    Pairwise merging keeps every add full-width while the plane count
-    halves each level: ~2L plane-adds total instead of L^2 row operations.
-    Column sums stay < 2*L*2^16 < 2^22, far under u32."""
-    p = a[:, None, :] * b[None, :, :]  # (L, L, T), exact: operands < 2^16
-    planes = []
+    column i+j and its hi half to column i+j+1, so lo-plane i and hi-plane
+    i-1 cover the SAME column span [i, i+L): they add with zero padding.
+    That one pass collapses the 2L split planes to L+1 aligned planes before
+    the pairwise merge tree runs — ~2.5x less plane-add volume than merging
+    all 2L planes (the round-4 kernel's dominant cost). Products whose column
+    lands at or beyond out_len are never computed (the m-generation call only
+    needs the low L columns). Column sums stay < 2*L*2^16 < 2^22, far under
+    u32; truncated-out_len sums only shed terms, never grow."""
+    planes = []  # (rows, column offset), offsets strictly increasing by 1
+    prev_hi = None
     for i in range(L):
-        planes.append(((p[i] & MASK16)[: out_len - i], i))
-        if i + 1 < out_len:
-            planes.append(((p[i] >> 16)[: out_len - i - 1], i + 1))
-    planes.sort(key=lambda t: t[1])  # neighbors differ by <= 1 in offset
+        jmax = min(L, out_len - i)  # b-rows whose lo half lands < out_len
+        if jmax <= 0:
+            break
+        pi = a[i][None, :] * b[:jmax]  # (jmax, T), exact: operands < 2^16
+        lo_i = pi & MASK16
+        hj = min(jmax, out_len - i - 1)  # rows whose hi half lands < out_len
+        hi_i = (pi[:hj] >> 16) if hj > 0 else None
+        # prev_hi covers columns [i, i + hj_{i-1}) — same offset as lo_i,
+        # and hj_{i-1} = min(L, out_len - i) = jmax, so shapes line up
+        planes.append((lo_i if prev_hi is None else lo_i + prev_hi, i))
+        prev_hi = hi_i
+    if prev_hi is not None:
+        planes.append((prev_hi, planes[-1][1] + 1))
     while len(planes) > 1:
         nxt = []
         for k in range(0, len(planes) - 1, 2):
@@ -316,6 +345,8 @@ def _mont_mul_kernel(a_ref, b_ref, o_ref, *, modulus: int, n_prime: int, L: int)
 
     if os.environ.get("KZG_TPU_ROWWISE") == "1":
         o_ref[:] = mont_mul_block(a_ref[:], b_ref[:], modulus, n_prime, L)
+    elif os.environ.get("KZG_TPU_MXU_REDC", "1") == "1":
+        o_ref[:] = mont_mul_stack_mxu(a_ref[:], b_ref[:], modulus, n_prime, L)
     else:
         o_ref[:] = mont_mul_stack(a_ref[:], b_ref[:], modulus, n_prime, L)
 
@@ -342,3 +373,114 @@ def mont_mul_pallas(a: jnp.ndarray, b: jnp.ndarray, modulus: int, n_prime: int,
         out_specs=pl.BlockSpec((L, block), lambda i: (0, i)),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(a, b)
+
+
+# ---------------------------------------------------------------------------
+# MXU-offloaded Montgomery reduction (KZG_TPU_MXU_REDC=1)
+#
+# Of the three limb products in a Montgomery multiply, two are by CONSTANTS:
+# m = (t mod R) * N' mod R and u = m * N. A constant multiplication is a
+# Toeplitz-matrix product over the limb axis — a true matmul the MXU can run.
+# With both operands split to 8-bit bytes, the products (< 2^16) and column
+# sums (< 48 * 255^2 < 2^22) are EXACT in a plain bf16 x bf16 -> f32 MXU pass
+# (bytes are exact in bf16; no HIGHEST-precision 6-pass decomposition, which
+# is what made the round-4 MXU attempt uncompilable). Only the a*b schoolbook
+# product (both operands variable) stays on the VPU.
+# ---------------------------------------------------------------------------
+
+
+def _bytes_of(value: int, n: int):
+    return tuple((value >> (8 * i)) & 0xFF for i in range(n))
+
+
+def _toeplitz_bytes_bf16(byte_vals, rows: int, cols: int, row_scale: int = 1,
+                         row_off: int = 0, col_perm_half: int = 0):
+    """W[k, i] = byte_vals[row_scale*k + row_off - byteidx(i)], built from
+    iota (Pallas kernels may not capture constant arrays); tiny trace.
+
+    byteidx(i) = i normally; with col_perm_half = L the columns address the
+    CONCATENATED byte layout [lo_0..lo_{L-1} | hi_0..hi_{L-1}] (byte 2i for
+    the first half, 2i+1 for the second) — the layout a sublane concat
+    produces without any Mosaic-unsupported interleaving reshape."""
+    from jax import lax
+
+    r = lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    c = lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    if col_perm_half:
+        h = col_perm_half
+        bidx = jnp.where(c < h, 2 * c, 2 * (c - h) + 1)
+    else:
+        bidx = c
+    d = row_scale * r + row_off - bidx
+    acc = jnp.zeros((rows, cols), jnp.float32)
+    for dd, v in enumerate(byte_vals):
+        if v:
+            acc = acc + jnp.where(d == dd, np.float32(v), np.float32(0.0))
+    return acc.astype(jnp.bfloat16)
+
+
+MASK8 = np.uint32(0xFF)
+
+
+def _carry_stack8(cols, R: int):
+    """Base-256 carry normalization: (R, T) byte columns < 2^22 -> rows in
+    [0, 2^8). Carry-out beyond the top row is discarded (callers reduce
+    mod 2^(8R))."""
+    s1 = (cols & MASK8) + _shift_rows_down(cols >> 8, 1)
+    s2 = (s1 & MASK8) + _shift_rows_down(s1 >> 8, 1)
+    g = s2 >> 8
+    p = ((s2 & MASK8) == MASK8).astype(jnp.uint32)
+    d = 1
+    while d < R:
+        g = g | (p & _shift_rows_down(g, d))
+        p = p & _shift_rows_down(p, d)
+        d *= 2
+    return (s2 + _shift_rows_down(g, 1)) & MASK8
+
+
+def _bf16(x):
+    # values < 2^8: exact through the int32 -> f32 -> bf16 hops
+    return x.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
+
+def mont_mul_stack_mxu(a, b, modulus: int, n_prime: int, L: int):
+    """Montgomery multiply with the REDC half on the MXU. Bit-identical
+    results to mont_mul_stack (same canonical output).
+
+    Formulated reshape-free for Mosaic: the byte split is a sublane CONCAT
+    ([lo bytes | hi bytes]) addressed by a column-permuted Toeplitz matrix,
+    and the byte->16-bit recombine is folded into the second matmul as a
+    lo/hi matrix pair. Falls back to the VPU path for >2-D operands (the
+    small Hillis-Steele scan kernels)."""
+    if a.ndim != 2:
+        return mont_mul_stack(a, b, modulus, n_prime, L)
+    N = _limbs_of(modulus, L)
+    t_cols = _mul_cols(a, b, L, 2 * L)
+    t_rows, _ = _carry_stack(t_cols, 2 * L)
+
+    t_lo = t_rows[:L]
+    t8p = jnp.concatenate([t_lo & MASK8, t_lo >> 8], axis=0)  # (2L, T)
+    np_bytes = _bytes_of(n_prime, 2 * L)
+    w_np = _toeplitz_bytes_bf16(np_bytes, 2 * L, 2 * L, col_perm_half=L)
+    m8_cols = jnp.dot(w_np, _bf16(t8p), preferred_element_type=jnp.float32)
+    m8_cols = m8_cols.astype(jnp.int32).astype(jnp.uint32)  # exact, < 2^22
+    m8 = _carry_stack8(m8_cols, 2 * L)  # canonical bytes of m = t*N' mod R
+    m8f = _bf16(m8)
+
+    # u = m * N in 16-bit columns directly: column k takes byte products
+    # landing at byte 2k (weight 1) and 2k+1 (weight 256)
+    n_bytes = _bytes_of(modulus, 2 * L)
+    w_lo = _toeplitz_bytes_bf16(n_bytes, 2 * L, 2 * L, row_scale=2)
+    w_hi = _toeplitz_bytes_bf16(n_bytes, 2 * L, 2 * L, row_scale=2, row_off=1)
+    u_lo = jnp.dot(w_lo, m8f, preferred_element_type=jnp.float32)
+    u_hi = jnp.dot(w_hi, m8f, preferred_element_type=jnp.float32)
+    u16 = u_lo.astype(jnp.int32).astype(jnp.uint32) + (
+        u_hi.astype(jnp.int32).astype(jnp.uint32) << 8
+    )  # < 2^30
+
+    s_cols = t_rows + u16
+    s_rows, carry = _carry_stack(s_cols, 2 * L)
+    hi = s_rows[L:]
+    diff, borrow = _sub_n_stack(hi, N, L)
+    take = jnp.logical_or(carry > 0, borrow == 0)
+    return jnp.where(take[None], diff, hi)

@@ -214,3 +214,128 @@ def test_fixed_base_msm_cpu_path_vs_oracle(rng):
     for p in expected_scalar_pts:
         acc = hm.g1_add(acc, p)
     assert got == acc
+
+
+def test_scan_prefix_madd_packed_interpret(rng):
+    """Packed-stream scan kernels (x | y << 16 words) vs the lax.scan path."""
+    m, C = 4, 8
+    x, y = _rand_g1(rng, m * C)
+    xs = jnp.moveaxis(x.reshape(FP.L, C, m), 2, 0)
+    ys = jnp.moveaxis(y.reshape(FP.L, C, m), 2, 0)
+    pk = xs | (ys << 16)
+    want = tuple(np.asarray(r) for r in _scan_reference(xs, ys, m))
+    got = pm.scan_prefix_madd_packed(pk, m, blk=8, interpret=True)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(g), w)
+    got_f, flag = pm.scan_prefix_madd_fast_packed(pk, m, blk=8, interpret=True)
+    assert int(flag) == 0
+    for w, g in zip(want, got_f):
+        np.testing.assert_array_equal(np.asarray(g), w)
+
+
+def test_hs_scan_points_interpret_matches_xla(rng):
+    """Fused Hillis-Steele point scan vs ops/msm._hs_scan_points, all modes."""
+    from kzg_tpu.ops import msm as msmops
+
+    W = 8
+    x, y = _rand_g1(rng, 2 * W)
+    one = jnp.broadcast_to(jnp.asarray(FP.ONE_MONT)[:, None], x.shape)
+    pts = tuple(c.reshape(FP.L, 2, W) for c in (x, y, one))
+    for rev in (False, True):
+        for exc in (False, True):
+            want = msmops._hs_scan_points(pts, axis=2, reverse=rev, exclusive=exc)
+            got = pm.hs_scan_points(*pts, rev, exc, True)
+            for w, g in zip(want, got):
+                np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_double_chain_interpret(rng):
+    x, y = _rand_g1(rng, 8)
+    one = jnp.broadcast_to(jnp.asarray(FP.ONE_MONT)[:, None], x.shape)
+    acc = (x, y, one)
+    for _ in range(5):
+        acc = G1.double(acc)
+    got = pm.double_chain(x, y, one, 5, True)
+    for w, g in zip(acc, got):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_signed_digits_recompose(rng):
+    """Signed window digits recompose to the scalar: sum e_w 2^(16w) == k."""
+    from kzg_tpu.ops import msm as msmops
+    from kzg_tpu.ops import curve as cv
+
+    ks = [rng.randrange(hm.R) for _ in range(13)] + [0, hm.R - 1, 0xFFFF8000]
+    sc = cv.fr_to_device(ks, batch=True)
+    absd, negd = msmops._fb_digits_signed(sc)
+    absd, negd = np.asarray(absd), np.asarray(negd)
+    assert absd.max() <= 1 << 15
+    for j, k in enumerate(ks):
+        total = sum(
+            (-int(a) if n else int(a)) << (16 * w)
+            for w, (a, n) in enumerate(zip(absd[:, j], negd[:, j]))
+        )
+        assert total == k, f"recompose mismatch for scalar #{j}"
+
+
+def test_fixed_base_msm_signed_path_vs_oracle(rng):
+    """End-to-end signed (production 16-bit) msm_g1_fixed on the CPU path vs
+    the oracle, including adversarial all-0xFFFF / r-1 scalars. Heavier than
+    the 8-bit test (B = 2^15 extraction) but warm-cache repeats are cheap."""
+    from kzg_tpu.ops import msm as msmops
+    from kzg_tpu.ops import curve as cv
+
+    n = 64
+    ks = [rng.randrange(1, hm.R) for _ in range(n)]
+    pts = [hm.g1_mul(hm.G1_GEN, k) for k in ks]
+    x = jnp.asarray(FP.many_to_limbs([p[0] for p in pts]))
+    y = jnp.asarray(FP.many_to_limbs([p[1] for p in pts]))
+    scalars = [rng.randrange(hm.R) for _ in range(n - 3)]
+    scalars += [hm.R - 1, (1 << 255) % hm.R, 0xFFFF]
+    sc = cv.fr_to_device(scalars, batch=True)
+    tables = msmops.precompute_g1_tables((x, y))
+    out = msmops.msm_g1_fixed(tables, sc)
+    got = cv.g1_from_device(out)
+    exp = hm.g1_mul(hm.G1_GEN, sum(k * s for k, s in zip(ks, scalars)) % hm.R)
+    assert got == exp
+
+
+def test_fold_madd_packed_interpret(rng):
+    """Window-fold kernel vs explicit madd+select loop, incl. (0,0) sentinel
+    lanes (digit-0 skips) and an all-sentinel lane (identity result)."""
+    W, C = 5, 8
+    x, y = _rand_g1(rng, W * C)
+    xs = x.reshape(FP.L, W, C)
+    ys = y.reshape(FP.L, W, C)
+    keep = jnp.asarray(
+        (np.arange(W)[:, None] + np.arange(C)[None, :]) % 3 != 0
+    )  # mixed skip pattern
+    keep = keep.at[:, 3].set(False)  # one all-sentinel lane
+    xs = jnp.where(keep[None], xs, 0)
+    ys = jnp.where(keep[None], ys, 0)
+    pk = jnp.moveaxis(xs | (ys << 16), 1, 0)  # (W, L, C)
+    got = pm.fold_madd_packed(pk, 8, True)
+
+    acc = tuple(jnp.zeros((FP.L, C), jnp.uint32) for _ in range(3))
+    for w in range(W):
+        new = G1.madd(acc, (xs[:, w], ys[:, w]))
+        acc = tuple(jnp.where(keep[w][None], n, a) for n, a in zip(new, acc))
+    for g, a in zip(got, acc):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(a))
+
+
+def test_mont_mul_mxu_redc_bit_identical(rng):
+    """The MXU-offloaded REDC engine (TPU default) vs the stacked VPU path,
+    incl. p-1 / 0 edge operands and a 3-D fall-through shape."""
+    n = 16
+    a = _rand_fp(rng, n)
+    b = _rand_fp(rng, n)
+    edge = jnp.asarray(FP.many_to_limbs([hm.P - 1, 0]))
+    a = jnp.concatenate([edge, a[:, 2:]], axis=1)
+    want = np.asarray(pf.mont_mul_stack(a, b, FP.modulus, FP.n_prime_int, FP.L))
+    got = np.asarray(pf.mont_mul_stack_mxu(a, b, FP.modulus, FP.n_prime_int, FP.L))
+    np.testing.assert_array_equal(got, want)
+    a3 = a.reshape(FP.L, 2, n // 2)
+    b3 = b.reshape(FP.L, 2, n // 2)
+    got3 = np.asarray(pf.mont_mul_stack_mxu(a3, b3, FP.modulus, FP.n_prime_int, FP.L))
+    np.testing.assert_array_equal(got3.reshape(FP.L, n), want)
