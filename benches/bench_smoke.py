@@ -247,6 +247,61 @@ def main() -> int:
           lambda: pm.double_chain(px[:, :128], py[:, :128], one[:, :128], 5),
           dbl_ref)
 
+    # 7. lazy 25-limb kernels (scan25 fast/exact, fold25): canonicalized
+    # output vs the 16-bit packed scan on the same stream
+    from kzg_tpu.ops import pallas_msm25 as k25
+
+    m7, C7 = 16, 256
+    x7, y7 = rand_pts(m7 * C7)
+    pk16 = jnp.moveaxis((x7 | (y7 << 16)).reshape(FP.L, C7, m7), 2, 0)
+    c16 = jnp.asarray(FP.to_limbs(1 << 16))[:, None]
+    pk25 = jnp.moveaxis(
+        (FP.mul(x7, c16) | (FP.mul(y7, c16) << 16)).reshape(FP.L, C7, m7), 2, 0
+    )
+
+    def scan25_ref():
+        runs = pm.scan_prefix_madd_packed(pk16, m7, blk=256)
+        return tuple(jnp.moveaxis(r, 0, 2).reshape(24, -1) for r in runs)
+
+    def scan25_fast_canon():
+        runs, flag = k25.scan25_fast(pk25, m7, blk=256)
+        runs = jax.lax.cond(
+            flag > 0,
+            lambda: k25.scan25_exact(pk25, m7, blk=256),
+            lambda: runs,
+        )
+        return tuple(
+            k25.to_mont16(jnp.moveaxis(r, 0, 2).reshape(25, -1)) for r in runs
+        )
+
+    check("scan25_fast", scan25_fast_canon, scan25_ref)
+
+    def scan25_exact_canon():
+        runs = k25.scan25_exact(pk25, m7, blk=256)
+        return tuple(
+            k25.to_mont16(jnp.moveaxis(r, 0, 2).reshape(25, -1)) for r in runs
+        )
+
+    check("scan25_exact", scan25_exact_canon, scan25_ref)
+
+    # fold25 vs the 16-bit fold on a stream with sentinel lanes
+    W8, C8 = 8, 256
+    fx, fy = rand_pts(W8 * C8)
+    fxn, fyn = np.array(fx), np.array(fy)
+    fxn[:, 3::7], fyn[:, 3::7] = 0, 0  # scattered digit-0 sentinels
+    fx, fy = jnp.asarray(fxn), jnp.asarray(fyn)
+    fpk16 = (fx | (fy << 16)).reshape(FP.L, W8, C8).transpose(1, 0, 2)
+    fpk25 = (
+        (FP.mul(fx, c16) | (FP.mul(fy, c16) << 16))
+        .reshape(FP.L, W8, C8)
+        .transpose(1, 0, 2)
+    )
+    check(
+        "fold25",
+        lambda: tuple(k25.to_mont16(c) for c in k25.fold25_packed(fpk25, blk=256)),
+        lambda: pm.fold_madd_packed(fpk16, blk=256),
+    )
+
     print(json.dumps(res))
     return 0 if res["ok"] else 1
 

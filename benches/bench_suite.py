@@ -114,10 +114,12 @@ def main() -> int:
             record("setup", degree, _timeit(run_setup, args.iters), n)
 
         if "commit" in suites:
-            msm = jax.jit(lambda x, y, k: msmops.msm_batched_affine(cv.G1, (x, y), k))
+            # the production online-MSM entry (batched ladder below the
+            # Pippenger threshold, bucketed Pippenger above it)
             record(
                 "commit", degree,
-                _timeit(lambda: msm(srs_x[:, :n], srs_y[:, :n], cstd), args.iters), n,
+                _timeit(lambda: msmops.msm_g1((srs_x[:, :n], srs_y[:, :n]), cstd),
+                        args.iters), n,
             )
 
         if "evaluate" in suites:
@@ -127,13 +129,14 @@ def main() -> int:
             )
 
         if "prove" in suites and degree >= 1:
-            msm = jax.jit(lambda x, y, k: msmops.msm_batched_affine(cv.G1, (x, y), k))
 
             def run_prove():
                 y = polyops.evaluate(cmont, x_mont, n)
                 pm = cmont.at[:, 0].set(FR.sub(cmont[:, 0], y))
                 q, _ = polyops.synthetic_divide(pm, x_mont, n)
-                return msm(srs_x[:, : n - 1], srs_y[:, : n - 1], FR.from_mont(q))
+                return msmops.msm_g1(
+                    (srs_x[:, : n - 1], srs_y[:, : n - 1]), FR.from_mont(q)
+                )
 
             record("prove", degree, _timeit(run_prove, args.iters), n)
 

@@ -101,6 +101,7 @@ def _build_tables(curve: JacobianCurve):
 
 
 _tables: dict[str, tuple] = {}
+_tables25: dict[str, object] = {}
 
 
 def gen_tables(curve: JacobianCurve):
@@ -109,6 +110,23 @@ def gen_tables(curve: JacobianCurve):
         t = _build_tables(curve)
         _tables[curve.name] = t
     return t
+
+
+def gen_tables25(tables):
+    """Packed lazy-domain (mont 2^400) G1 generator tables for the 25-limb
+    fold kernel: x|y<<16 words pre-scaled by mont(2^16). The d = 0 sentinel
+    (all-zero entry) survives the scale (0 * c = 0). Under an enclosing trace
+    (tables arrive as jit arguments) the pack is recomputed in-graph — the
+    table is tiny (32*256 entries) and tracers must not be cached."""
+    tx, ty = tables
+    c16 = jnp.asarray(FP.to_limbs(1 << 16)).reshape(FP.L, 1, 1)
+    if isinstance(tx, jax.core.Tracer):
+        return FP.mul(tx, c16) | (FP.mul(ty, c16) << 16)
+    pk = _tables25.get("g1")
+    if pk is None:
+        pk = FP.mul(tx, c16) | (FP.mul(ty, c16) << 16)
+        _tables25["g1"] = pk
+    return pk
 
 
 def _digits8(k: jnp.ndarray) -> jnp.ndarray:
@@ -144,13 +162,18 @@ def mul_gen(curve: JacobianCurve, k: jnp.ndarray, tables=None):
 
     if curve is G1 and _use_pallas() and nb >= 64 and nb % 64 == 0:
         # Fused TPU path: ONE packed gather (x | y << 16 halves the
-        # element-bound gather cost) + ONE fold kernel instead of 31
-        # madd+select launches. Digit-0 entries are the (0, 0) sentinel the
-        # kernel skips. Identical group results to the fori_loop path.
-        from . import pallas_msm
+        # element-bound gather cost) + ONE lazy-domain fold kernel instead of
+        # 31 madd+select launches (pallas_msm25 — ~1.7x fewer VPU ops than
+        # the 24-limb fold). Digit-0 entries are the (0, 0) sentinel the
+        # kernel skips. Identical group results to the fori_loop path
+        # (canonicalized by to_mont16).
+        from . import pallas_msm25 as k25
 
-        pk = jnp.take_along_axis(tx | (ty << 16), dfe, axis=cd + 1)  # (L, W, nb)
-        out = pallas_msm.fold_madd_packed(jnp.moveaxis(pk, 1, 0))
+        pk = jnp.take_along_axis(
+            gen_tables25((tx, ty)), dfe, axis=cd + 1
+        )  # (L, W, nb)
+        out25 = k25.fold25_packed(jnp.moveaxis(pk, 1, 0))
+        out = tuple(k25.to_mont16(c) for c in out25)
         return tuple(c.reshape(c.shape[:1] + batch) for c in out)
 
     x = jnp.take_along_axis(tx, dfe, axis=cd + 1)  # (L[,2], W, nb)

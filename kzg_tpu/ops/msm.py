@@ -635,6 +635,127 @@ def _fbs_buckets(tables, absd, negd, nt: int, chunk: int | None):
     return _fbs_extract_jit(runs_flat, off, ds, m)
 
 
+# ---------------------------------------------------------------------------
+# Lazy 25-limb production pipeline (TPU): the scan runs in the 2^400
+# Montgomery domain with redundant values (ops/pallas_msm25.py — ~1.8x fewer
+# VPU ops per madd). Tables are pre-scaled by mont(2^16) and pre-packed as
+# x | y<<16 words with a second NEGATED-y copy, so the signed-digit sort is
+# ONE gather with index = order + neg*P (the per-MSM FP.neg pass of the
+# 24-limb path disappears). Only bucket boundaries and chunk totals are
+# converted back to canonical 24-limb form. Same group results (canonical
+# after conversion) as the 24-limb path.
+# ---------------------------------------------------------------------------
+
+
+def pack_tables25(tables, chunk: int = 1 << 21):
+    """(tx, ty) canonical-Montgomery fixed-base tables (24, W*nt) ->
+    (24, 2*W*nt) packed lazy-domain table: [x|y<<16 | x|(p-y)<<16], each
+    coordinate pre-scaled by mont(2^16) (so in-kernel values are x*2^400).
+    Host-chunked to bound peak device memory at 2^20-point tables."""
+    tx, ty = tables[0], tables[1]
+    c16 = jnp.asarray(FP.to_limbs(1 << 16))[:, None]
+
+    @jax.jit
+    def _chunk(txc, tyc):
+        xs = FP.mul(txc, c16)
+        ys = FP.mul(tyc, c16)
+        yn = FP.mul(FP.neg(tyc), c16)
+        return xs | (ys << 16), xs | (yn << 16)
+
+    W = tx.shape[1]
+    pos_parts, neg_parts = [], []
+    for lo in range(0, W, chunk):
+        p, n = _chunk(tx[:, lo : lo + chunk], ty[:, lo : lo + chunk])
+        pos_parts.append(p)
+        neg_parts.append(n)
+    return jnp.concatenate(pos_parts + neg_parts, axis=1)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _fbs25_sort_jit(packed, absd, negd, nt: int, m: int):
+    """Signed sort stage on the pre-packed lazy table: ONE gather selects the
+    negated-y copy for negative-digit pairs via index offset P."""
+    P = FB_WINDOWS * nt
+    C = P // m
+    flat = absd.reshape(P)
+    order = jnp.argsort(flat)
+    ds = flat[order]
+    neg_s = negd.reshape(P)[order]
+    idx = order + jnp.where(neg_s, jnp.uint32(P), jnp.uint32(0)).astype(order.dtype)
+    pks = packed[:, idx]
+    pk = jnp.moveaxis(pks.reshape(FP.L, C, m), 2, 0)
+    return pk, ds
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _fbs25_sort_pm_jit(packed_pm, absd, negd, nt: int, m: int):
+    """Point-major variant of _fbs25_sort_jit: the packed table is stored
+    (2P, 24) so each gathered point is one contiguous 96-byte row (row
+    gathers beat 24 scattered element reads per point on TPU); a transpose
+    restores the (m, L, C) scan layout at HBM bandwidth."""
+    P = FB_WINDOWS * nt
+    C = P // m
+    flat = absd.reshape(P)
+    order = jnp.argsort(flat)
+    ds = flat[order]
+    neg_s = negd.reshape(P)[order]
+    idx = order + jnp.where(neg_s, jnp.uint32(P), jnp.uint32(0)).astype(order.dtype)
+    rows = packed_pm[idx]  # (P, 24)
+    pk = jnp.transpose(rows.reshape(C, m, FP.L), (1, 2, 0))
+    return pk, ds
+
+
+def _fbs25_scan_traced(pk, m: int):
+    """Lazy-domain scan: fast kernel with an in-graph exact fallback (taken
+    only if a lane hits P == Q)."""
+    from . import pallas_msm25 as k25
+
+    runs, flag = k25.scan25_fast(pk, m, blk=1024)
+    runs = lax.cond(
+        flag > 0,
+        lambda: k25.scan25_exact(pk, m, blk=1024),
+        lambda: runs,
+    )
+    P = runs[0].shape[0] * runs[0].shape[2]
+    totals = tuple(r[-1] for r in runs)  # (25, C)
+    runs_flat = tuple(jnp.moveaxis(r, 0, 2).reshape(k25.L25, P) for r in runs)
+    return runs_flat, totals
+
+
+_fbs25_scan_jit = jax.jit(_fbs25_scan_traced, static_argnums=(1,))
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _fbs25_extract_jit(runs_flat, totals, ds, m: int):
+    """Offsets + bucket extraction in ONE program: chunk totals and the
+    gathered prefix boundaries are converted from the lazy 2^400 domain to
+    canonical mont16 form, then combined exactly as _fbs_extract_jit."""
+    from .pallas_msm25 import to_mont16
+
+    B = (1 << 15) + 1
+    t16 = tuple(to_mont16(t) for t in totals)  # (24, C) canonical
+    off = _hs_scan_points(t16, axis=1, exclusive=True)
+    lpos = jnp.searchsorted(ds, jnp.arange(B, dtype=ds.dtype), side="right") - 1
+    valid = lpos >= 0
+    lc = jnp.maximum(lpos, 0).astype(jnp.int32)
+    U = tuple(to_mont16(r[:, lc]) for r in runs_flat)
+    cidx = lc // m
+    O = tuple(o[:, cidx] for o in off)
+    V = G1.add(U, O)
+    V = G1.select(valid, V, G1.inf_like(V))
+    return G1.add(V, G1.neg(_shift_points(V, 1, axis=1)))
+
+
+def _fbs25_buckets(packed, absd, negd, nt: int, chunk: int | None):
+    """Signed bucket sums via the lazy 25-limb pipeline. Returns a canonical
+    mont16 Jacobian triple of shape (24, 2^15 + 1)."""
+    P = FB_WINDOWS * nt
+    m = fb_chunk_size(P, chunk)
+    pk, ds = _fbs25_sort_jit(packed, absd, negd, nt, m)
+    runs_flat, totals = _fbs25_scan_jit(pk, m)
+    return _fbs25_extract_jit(runs_flat, totals, ds, m)
+
+
 def _fbs_reduce(S):
     W = _fbs_grid_trees_jit(*S)
     ws = _fbs_suffix_weighted_jit(*W)
@@ -799,22 +920,41 @@ import os as _os
 
 # Signed digits are the default for the 16-bit fixed-base path; the unsigned
 # pipeline remains for 8-bit windows (sharded/dryrun shapes) and as an
-# explicit fallback (KZG_TPU_UNSIGNED_FB=1).
+# explicit fallback (KZG_TPU_UNSIGNED_FB=1). KZG_TPU_NO_LAZY25=1 disables the
+# lazy 25-limb pipeline (falls back to the 24-limb signed path).
 _SIGNED_FB = _os.environ.get("KZG_TPU_UNSIGNED_FB") != "1"
+_LAZY25 = _os.environ.get("KZG_TPU_NO_LAZY25") != "1"
 
 
-def _fbs_digit_arrays(scalars, inf_mask, nt: int):
-    """Standard-form scalars -> padded (abs, neg) signed window digits."""
+@partial(jax.jit, static_argnums=(2,))
+def _fbs_digits_nomask_jit(scalars, _unused, nt: int):
     n = scalars.shape[-1]
     absd, negd = _fb_digits_signed(scalars)
-    if inf_mask is not None:
-        im = jnp.asarray(inf_mask)[None]
-        absd = jnp.where(im, 0, absd)
-        negd = jnp.where(im, False, negd)
     if n < nt:
         absd = jnp.pad(absd, [(0, 0), (0, nt - n)])
         negd = jnp.pad(negd, [(0, 0), (0, nt - n)])
     return absd, negd
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _fbs_digits_mask_jit(scalars, im, nt: int):
+    n = scalars.shape[-1]
+    absd, negd = _fb_digits_signed(scalars)
+    absd = jnp.where(im[None], 0, absd)
+    negd = jnp.where(im[None], False, negd)
+    if n < nt:
+        absd = jnp.pad(absd, [(0, 0), (0, nt - n)])
+        negd = jnp.pad(negd, [(0, 0), (0, nt - n)])
+    return absd, negd
+
+
+def _fbs_digit_arrays(scalars, inf_mask, nt: int):
+    """Standard-form scalars -> padded (abs, neg) signed window digits (ONE
+    jitted program — the 16-window rewrite loop is ~100 eager dispatches
+    otherwise, each a tunneled-backend round trip)."""
+    if inf_mask is None:
+        return _fbs_digits_nomask_jit(scalars, None, nt)
+    return _fbs_digits_mask_jit(scalars, jnp.asarray(inf_mask), nt)
 
 
 def msm_g1_fixed(tables, scalars, inf_mask=None, chunk: int | None = None,
@@ -825,13 +965,23 @@ def msm_g1_fixed(tables, scalars, inf_mask=None, chunk: int | None = None,
     the limbs ARE the window digits (rewritten to signed digits with half the
     bucket space on the production path). Identical group result to msm_g1 on
     the same points (the window shifts are baked into the tables)."""
-    tx, ty = tables
+    tx, ty = tables[0], tables[1]
+    packed25 = tables[2] if len(tables) > 2 else None
     windows = 256 // window_bits
-    nt = tx.shape[1] // windows
+    nt = (
+        tx.shape[1] // windows
+        if tx is not None
+        else packed25.shape[1] // (2 * windows)
+    )
     n = scalars.shape[-1]
     if window_bits == 16 and _SIGNED_FB:
         absd, negd = _fbs_digit_arrays(scalars, inf_mask, nt)
-        S = _fbs_buckets((tx, ty), absd, negd, nt, chunk)
+        from .field import _use_pallas
+
+        if packed25 is not None and _use_pallas() and _LAZY25:
+            S = _fbs25_buckets(packed25, absd, negd, nt, chunk)
+        else:
+            S = _fbs_buckets((tx, ty), absd, negd, nt, chunk)
         return _fbs_reduce(S)
     digits = _fb_digits(scalars, window_bits)
     if inf_mask is not None:
@@ -894,14 +1044,28 @@ def msm_g1_fixed_blocked(tables, scalars, inf_mask=None, block: int = 1 << 18,
     single v5e's HBM. Blocks bound peak device memory at ~block/nt of the
     whole while reusing ONE set of stage programs across blocks (all blocks
     share the same shapes). Same group element as msm_g1_fixed."""
-    tx, ty = tables
+    tx, ty = tables[0], tables[1]
+    packed25 = tables[2] if len(tables) > 2 else None
     windows = 256 // window_bits
-    nt = tx.shape[1] // windows
+    nt = (
+        tx.shape[1] // windows
+        if tx is not None
+        else packed25.shape[1] // (2 * windows)
+    )
     n = scalars.shape[-1]
     if nt <= block:
         return msm_g1_fixed(tables, scalars, inf_mask, chunk, window_bits)
     if nt % block:
         raise ValueError("block must divide the table width")
+    from .field import _use_pallas
+
+    use25 = (
+        packed25 is not None
+        and _use_pallas()
+        and window_bits == 16
+        and _SIGNED_FB
+        and _LAZY25
+    )
     base = np.arange(windows, dtype=np.int64)[:, None] * nt
     if inf_mask is not None:
         # align the mask with the scalar axis: a partially-covering mask must
@@ -916,12 +1080,39 @@ def msm_g1_fixed_blocked(tables, scalars, inf_mask=None, block: int = 1 << 18,
     # runs ONCE for the whole MSM instead of once per block.
     signed = window_bits == 16 and _SIGNED_FB
     S_acc = None
+    if use25:
+        # the signed digit rewrite is lane-independent: compute it ONCE over
+        # the full scalar vector and slice per block (vs one rewrite program
+        # dispatch per block)
+        full_abs, full_neg = _fbs_digit_arrays(
+            scalars, im if inf_mask is not None else None, n
+        )
     for lo in range(0, min(n, nt), block):
         hi = min(lo + block, nt)
-        idx = (base + np.arange(lo, hi, dtype=np.int64)[None, :]).ravel()
-        txb, tyb = tx[:, idx], ty[:, idx]
+        if use25:
+            # strided slice of the packed table (no gather): both the normal
+            # and negated-y halves keep the [half, window, point] layout the
+            # sort's index = order + neg*P convention expects
+            pb = packed25.reshape(FP.L, 2, windows, nt)[..., lo:hi].reshape(
+                FP.L, 2 * windows * (hi - lo)
+            )
+            # digits may cover fewer lanes than the table slice (n < nt);
+            # zero-digit padding contributes nothing (bucket 0, weight 0)
+            # digits may cover fewer lanes than the table slice (n < nt);
+            # zero-digit padding contributes nothing (bucket 0, weight 0).
+            # hi - lo == block always (block | nt), so pb needs no padding.
+            absd, negd = full_abs[:, lo:hi], full_neg[:, lo:hi]
+            wa = absd.shape[-1]
+            if wa < block:
+                absd = jnp.pad(absd, [(0, 0), (0, block - wa)])
+                negd = jnp.pad(negd, [(0, 0), (0, block - wa)])
+            S = _fbs25_buckets(pb, absd, negd, block, chunk)
+            S_acc = S if S_acc is None else _fb_bucket_add_jit(*S_acc, *S)
+            continue
         kb = scalars[..., lo:hi]
         mb = jnp.asarray(im[lo:hi]) if inf_mask is not None else None
+        idx = (base + np.arange(lo, hi, dtype=np.int64)[None, :]).ravel()
+        txb, tyb = tx[:, idx], ty[:, idx]
         if signed:
             absd, negd = _fbs_digit_arrays(kb, mb, block)
             S = _fbs_buckets((txb, tyb), absd, negd, block, chunk)
@@ -1010,7 +1201,7 @@ def msm_g1_fixed_many(tables, scalars_many, inf_mask=None, chunk: int | None = N
     scalars_many: (16, N, k) standard-form Fr limbs — column j is the scalar
     vector of MSM j. Returns a Jacobian triple with batch shape (k,), each
     lane bit-identical to msm_g1_fixed(tables, scalars_many[..., j])."""
-    tx, ty = tables
+    tx, ty = tables[0], tables[1]
     windows = 256 // window_bits
     nt = tx.shape[1] // windows
     n, k = scalars_many.shape[-2], scalars_many.shape[-1]

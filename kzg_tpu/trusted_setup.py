@@ -147,10 +147,17 @@ class DeviceSRS:
         every subsequent commit/proof MSM."""
         if self._fb_tables is None:
             from .ops import msm as msmops
+            from .ops.field import _use_pallas
 
-            self._fb_tables = msmops.precompute_g1_tables(
+            tx, ty = msmops.precompute_g1_tables(
                 (self.g1_x, self.g1_y), self.g1_inf
             )
+            if _use_pallas():
+                # TPU: also pre-pack the lazy-domain table the 25-limb scan
+                # pipeline consumes (one extra one-time pass per SRS)
+                self._fb_tables = (tx, ty, msmops.pack_tables25((tx, ty)))
+            else:
+                self._fb_tables = (tx, ty)
         return self._fb_tables
 
     @classmethod

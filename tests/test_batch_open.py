@@ -141,3 +141,23 @@ def test_generate_proofs_batch_blocked_matches_unblocked(setup9, rng, monkeypatc
     evs_b, proofs_b = generate_proofs_batch(poly, points, setup9)
     assert [e.result for e in evs_b] == [e.result for e in evs_u]
     assert proofs_b == proofs_u
+
+
+def test_generate_proofs_batch_blocked(setup9, rng, monkeypatch):
+    """Point counts beyond the per-program block limit run as padded
+    fixed-shape blocks (the `evaluate --domain K` large-K path). Forcing a
+    tiny block exercises the blocking + tail-padding logic."""
+    import kzg_tpu.polynomial as polymod
+
+    monkeypatch.setattr(polymod, "_proofs_point_block", lambda n, s: 2)
+    coeffs = [rng.randrange(hm.R) for _ in range(6)]
+    poly = Polynomial.from_ints(coeffs)
+    commitment = poly.commit(setup9)
+    points = [Scalar.from_int(rng.randrange(hm.R)) for _ in range(5)]  # 3 blocks, ragged tail
+    evs, proofs = generate_proofs_batch(poly, points, setup9)
+    assert len(evs) == len(proofs) == 5
+    for p, ev, proof in zip(points, evs, proofs):
+        single_ev = poly.evaluate(p)
+        assert ev.result == single_ev.result
+        assert proof == single_ev.generate_proof(poly, setup9)
+        assert ev.verify_proof(proof, commitment, setup9)
