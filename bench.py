@@ -25,7 +25,7 @@ BASELINE_POINTS_PER_S = 10_000.0  # serial blst double-and-add commit loop
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else (1 << 20)
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 
     import os
@@ -73,8 +73,15 @@ def main() -> int:
             pass
 
     rng = np.random.default_rng(0xB152381)
-    sc_ints = [int.from_bytes(rng.bytes(32), "little") % hm.R for _ in range(n)]
-    scalars = cv.fr_to_device(sc_ints, batch=True)
+    # vectorized scalar draw: 16 x u16 limbs with the top limb masked to 10
+    # bits (< 2^250 < r) — a python-int per-scalar conversion loop at 2^20
+    # costs minutes; this is milliseconds and oracle ints derive exactly
+    limbs = rng.integers(0, 1 << 16, size=(16, n), dtype=np.int64)
+    limbs[15] &= 0x3FF
+    scalars = jnp.asarray(limbs.astype(np.uint32))
+    sc_ints = [
+        int(sum(int(limbs[j, i]) << (16 * j) for j in range(16))) for i in range(n)
+    ]
 
     # Fixed-base precomputed tables: the SRS is fixed across commits, so the
     # per-SRS table build (one-time, reported separately) moves every
@@ -117,11 +124,10 @@ def main() -> int:
 
     # Above 2^18 points the single-shot pipeline's sorted copies + prefix
     # runs approach a v5e's HBM; the blocked variant bounds peak memory and
-    # reuses one set of stage programs across blocks. 2^16 blocks reuse the
-    # EXACT stage-program shapes of the n=65536 bench (zero extra AOT
-    # compiles on the tunneled backend, whose cold compiles run minutes);
-    # override via argv[3] when exploring larger blocks.
-    block = int(sys.argv[3]) if len(sys.argv) > 3 else (1 << 16)
+    # reuses one set of stage programs across blocks. 2^18 blocks balance
+    # per-block fixed costs (argsort dispatch, extraction) against peak
+    # memory (~7 GB incl. the packed table at n=2^20).
+    block = int(sys.argv[3]) if len(sys.argv) > 3 else (1 << 18)
 
     def run():
         out = msmops.msm_g1_fixed_blocked(tables, scalars, block=block)
@@ -133,9 +139,13 @@ def main() -> int:
     out = run()
     print(f"[bench] fixed-base MSM compile+first run: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    # correctness spot check vs exact oracle
+    # correctness spot check vs exact oracle (iterative powers: per-term
+    # pow() is O(log i) each and takes minutes at 2^20)
     s = 0x1CAFE_F00D_5EED
-    exp_scalar = sum(si * pow(s, i, hm.R) for i, si in enumerate(sc_ints)) % hm.R
+    exp_scalar, pw = 0, 1
+    for si in sc_ints:
+        exp_scalar = (exp_scalar + si * pw) % hm.R
+        pw = pw * s % hm.R
     got = cv.g1_from_device(out)
     exp = hm.g1_mul(hm.G1_GEN, exp_scalar)
     if got != exp:
@@ -161,7 +171,7 @@ def main() -> int:
     # circuits). The v5e VPU upper bound is 8 sublanes x 128 lanes x ~940 MHz
     # one-multiply-per-lane-cycle.
     V5E_U32_MULS_PER_S = 8 * 128 * 940e6
-    fp_mul_u32 = 2 * 24 * 24
+    fp_mul_u32 = 2 * 25 * 25  # lazy 25-limb kernel
     madd_fp_muls = 11
     sol_s = (16 * n) * madd_fp_muls * fp_mul_u32 / V5E_U32_MULS_PER_S
     sol_pts_per_s = n / sol_s
