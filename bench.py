@@ -103,7 +103,7 @@ def main() -> int:
             print(f"[bench] tables loaded from cache: {time.time()-t0:.1f}s",
                   file=sys.stderr)
         else:
-            tx, ty = jax.block_until_ready(msmops.precompute_g1_tables((px, py)))
+            tx, ty = msmops.precompute_g1_tables_chunked((px, py))
             print(f"[bench] fixed-base table precompute (one-time per SRS): "
                   f"{time.time()-t0:.1f}s", file=sys.stderr)
             try:

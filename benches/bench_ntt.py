@@ -39,8 +39,15 @@ def main() -> int:
     print(f"[ntt] device: {dev.platform}:{dev.device_kind} n=2^{k}", file=sys.stderr)
 
     rng = np.random.default_rng(0x177)
-    coeffs = [int.from_bytes(rng.bytes(32), "little") % hm.R for _ in range(n)]
-    dev_c = jnp.asarray(FR.many_to_limbs(coeffs))
+    # vectorized draw (< 2^250 < r): per-int python conversion at 2^20 costs
+    # minutes; oracle ints derive from the same limb array
+    limbs = rng.integers(0, 1 << 16, size=(16, n), dtype=np.int64)
+    limbs[15] &= 0x3FF
+    std = limbs.astype(np.uint32)
+    coeffs = [
+        int(sum(int(std[j, i]) << (16 * j) for j in range(16))) for i in range(n)
+    ]
+    dev_c = FR.to_mont(jnp.asarray(std))
 
     t0 = time.time()
     out = jax.block_until_ready(nttops.ntt(dev_c, k))
@@ -60,7 +67,11 @@ def main() -> int:
     got = np.asarray(out)
     ok = True
     for j in (0, 1, n // 2, n - 1):
-        want = sum(c * pow(w, (i * j) % n, hm.R) for i, c in enumerate(coeffs)) % hm.R
+        wj = pow(w, j, hm.R)
+        want, pw = 0, 1
+        for c in coeffs:  # iterative powers (per-term pow() takes minutes)
+            want = (want + c * pw) % hm.R
+            pw = pw * wj % hm.R
         if FR.from_limbs(got[:, j]) != want:
             ok = False
             print(f"[ntt] MISMATCH at j={j}", file=sys.stderr)

@@ -88,8 +88,10 @@ def main() -> int:
     py = sys.executable
     ok = True
 
-    # 1. five-suite Criterion mirror at reference degrees (+ TPU-scale points)
-    degrees = "1,100,500,1000,2500" if quick else "1,100,500,1000,2500,16383,65535"
+    # 1. five-suite Criterion mirror at the reference degree points; the
+    # TPU-scale extension runs commit+evaluate+prove only (every (suite,
+    # degree) pair is its own multi-minute AOT compile on the tunnel)
+    degrees = "1,100,500,1000,2500"
     suite_json = os.path.join(RESULTS, "bench_suite.json")
     if force or not os.path.exists(suite_json):
         ok &= run_stage(
@@ -101,6 +103,19 @@ def main() -> int:
         ) and os.path.exists(suite_json)
     else:
         print("[run_all] bench_suite: exists, skipping", file=sys.stderr)
+    if not quick:
+        scale_json = os.path.join(RESULTS, "bench_suite_scale.json")
+        if force or not os.path.exists(scale_json):
+            ok &= run_stage(
+                "bench_suite_scale",
+                [py, "-u", "benches/bench_suite.py", "commit", "evaluate", "prove",
+                 "--degrees", "16383,65535", "--json", scale_json],
+                "",
+                force,
+                timeout=10800,
+            ) and os.path.exists(scale_json)
+        else:
+            print("[run_all] bench_suite_scale: exists, skipping", file=sys.stderr)
 
     # 2. ceremony scale
     n_cer = 1 << (16 if quick else 20)
@@ -112,10 +127,18 @@ def main() -> int:
         ok &= run_stage(f"msm_2^{lg}", [py, "-u", "bench.py", str(1 << lg)],
                         f"msm_{1 << lg}.json", force, timeout=10800)
 
-    # 4. stage profile at the largest benched n
-    n_prof = 1 << (16 if quick else 20)
-    ok &= run_stage("profile_fb", [py, "-u", "benches/profile_fb.py", str(n_prof)],
-                    f"profile_fb_{n_prof}.json", force)
+    # 4. NTT throughput (BASELINE north-star metric)
+    ok &= run_stage("bench_ntt", [py, "-u", "benches/bench_ntt.py"],
+                    "bench_ntt.json", force)
+
+    # 5. hardware smoke of every Pallas kernel entry
+    ok &= run_stage("bench_smoke", [py, "-u", "benches/bench_smoke.py"],
+                    "bench_smoke.json", force)
+
+    # 6. stage profile of the production lazy pipeline
+    ok &= run_stage("profile_lazy25",
+                    [py, "-u", "benches/profile_lazy25.py", "65536"],
+                    "profile_lazy25_65536.json", force)
 
     print(f"[run_all] {'ALL OK' if ok else 'SOME STAGES FAILED'}", file=sys.stderr)
     return 0 if ok else 1

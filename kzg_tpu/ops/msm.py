@@ -418,6 +418,60 @@ def _build_tables(x, y, window_bits: int):
     return tx, ty
 
 
+def precompute_g1_tables_chunked(pts_affine, inf_mask=None,
+                                 window_bits: int = FB_WINDOW_BITS,
+                                 col_chunk: int = 1 << 16):
+    """precompute_g1_tables in fixed-width column slices: each slice reuses
+    the ONE (24, col_chunk)-shaped advance/affine program pair (the table
+    build is per-lane independent), so a 2^20-point build triggers ZERO new
+    AOT compiles beyond the 2^16 build's — a full-width build at 2^20 shapes
+    wedged the tunneled backend's remote compiler for >1 h (round 5).
+
+    Returns host numpy arrays (24, W*N2) in the same layout."""
+    x, y = pts_affine
+    n = x.shape[1]
+    n2 = 1 << max(6, (n - 1).bit_length())
+    if n2 <= col_chunk:
+        t = precompute_g1_tables(pts_affine, inf_mask, window_bits)
+        return np.asarray(t[0]), np.asarray(t[1])
+    assert n2 % col_chunk == 0
+    windows = 256 // window_bits
+    out_x = np.empty((FP.L, windows, n2), np.uint32)
+    out_y = np.empty((FP.L, windows, n2), np.uint32)
+    x = np.asarray(x)
+    y = np.asarray(y)
+    im = np.asarray(inf_mask) if inf_mask is not None else None
+    for lo in range(0, n2, col_chunk):
+        hi = min(lo + col_chunk, n)
+        if hi > lo:
+            xs, ys = x[:, lo:hi], y[:, lo:hi]
+            ms = im[lo:hi] if im is not None and lo < im.shape[0] else None
+        else:  # pure padding slice: generator lanes, digits forced 0 upstream
+            xs = np.zeros((FP.L, 0), np.uint32)
+            ys = np.zeros((FP.L, 0), np.uint32)
+            ms = None
+        # pad the slice to col_chunk inside precompute (it pads to pow2 >= 64)
+        if xs.shape[1] < col_chunk:
+            pad_n = col_chunk - xs.shape[1]
+            from .curve import G1_GEN_DEV
+
+            gx = np.broadcast_to(np.asarray(G1_GEN_DEV[0])[:, None], (FP.L, pad_n))
+            gy = np.broadcast_to(np.asarray(G1_GEN_DEV[1])[:, None], (FP.L, pad_n))
+            xs = np.concatenate([xs, gx], axis=1)
+            ys = np.concatenate([ys, gy], axis=1)
+            if ms is not None:
+                ms = np.pad(ms, (0, pad_n))
+        tsx, tsy = precompute_g1_tables((jnp.asarray(xs), jnp.asarray(ys)), ms,
+                                        window_bits)
+        out_x[:, :, lo : lo + col_chunk] = np.asarray(tsx).reshape(
+            FP.L, windows, col_chunk
+        )
+        out_y[:, :, lo : lo + col_chunk] = np.asarray(tsy).reshape(
+            FP.L, windows, col_chunk
+        )
+    return out_x.reshape(FP.L, windows * n2), out_y.reshape(FP.L, windows * n2)
+
+
 def precompute_g1_tables(pts_affine, inf_mask=None, window_bits: int = FB_WINDOW_BITS):
     """Build fixed-base window tables for msm_g1_fixed.
 
@@ -647,7 +701,7 @@ def _fbs_buckets(tables, absd, negd, nt: int, chunk: int | None):
 # ---------------------------------------------------------------------------
 
 
-def pack_tables25(tables, chunk: int = 1 << 21):
+def pack_tables25(tables, chunk: int = 1 << 20):
     """(tx, ty) canonical-Montgomery fixed-base tables (24, W*nt) ->
     (24, 2*W*nt) packed lazy-domain table: [x|y<<16 | x|(p-y)<<16], each
     coordinate pre-scaled by mont(2^16) (so in-kernel values are x*2^400).

@@ -178,3 +178,19 @@ def test_fbs25_buckets_match_fbs16(rng):
     S16 = msmops._fbs_buckets((tx, ty), absd, negd, nt, None)
     for a, b in zip(S25, S16):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_precompute_tables_chunked_matches_full(rng):
+    """Column-sliced table build == full-width build (incl. generator pad
+    lanes and an inf-masked lane)."""
+    n = 96  # n2 = 128 -> two 64-column slices
+    pts = [hm.g1_mul(hm.G1_GEN, rng.randrange(1, hm.R)) for _ in range(n)]
+    x = jnp.asarray(FP.many_to_limbs([p[0] for p in pts]))
+    y = jnp.asarray(FP.many_to_limbs([p[1] for p in pts]))
+    mask = np.zeros(n, bool)
+    mask[5] = True
+    full = msmops.precompute_g1_tables((x, y), mask)
+    chunked = msmops.precompute_g1_tables_chunked((x, y), mask, col_chunk=64)
+    np.testing.assert_array_equal(np.asarray(full[0]), chunked[0])
+    np.testing.assert_array_equal(np.asarray(full[1]), chunked[1])
