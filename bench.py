@@ -124,10 +124,13 @@ def main() -> int:
 
     # Above 2^18 points the single-shot pipeline's sorted copies + prefix
     # runs approach a v5e's HBM; the blocked variant bounds peak memory and
-    # reuses one set of stage programs across blocks. 2^18 blocks balance
-    # per-block fixed costs (argsort dispatch, extraction) against peak
-    # memory (~7 GB incl. the packed table at n=2^20).
-    block = int(sys.argv[3]) if len(sys.argv) > 3 else (1 << 18)
+    # reuses one set of stage programs across blocks. 2^16 blocks reuse the
+    # EXACT stage shapes of the n=65536 bench — zero extra AOT compiles on
+    # the tunneled backend, whose remote compiler has repeatedly WEDGED on
+    # the larger 2^18-block shapes (round-5 observation; bigger blocks
+    # amortize per-block overhead better when the compiler cooperates —
+    # pass argv[3] to override).
+    block = int(sys.argv[3]) if len(sys.argv) > 3 else (1 << 16)
 
     def run():
         out = msmops.msm_g1_fixed_blocked(tables, scalars, block=block)

@@ -318,7 +318,11 @@ def _hs_scan_points(pts, axis: int, reverse: bool = False, exclusive: bool = Fal
     from .field import _use_pallas
 
     ax = axis % pts[2].ndim
-    if _use_pallas() and ax == pts[2].ndim - 1:
+    # the fused kernel's level-shift where-chain holds log2(n) shifted copies
+    # in VMEM — at n = 8192 lanes that exceeds the 128 MB budget (observed
+    # OOM at the 2^18-block offsets stage); wide scans use the XLA fori path,
+    # whose per-launch point-adds are lane-efficient at these widths anyway
+    if _use_pallas() and ax == pts[2].ndim - 1 and n <= 4096:
         from . import pallas_msm
 
         return pallas_msm.hs_scan_points(
